@@ -1,0 +1,125 @@
+"""Fused color-correction operator over the images table.
+
+The Spark realization of the reference's worker loop
+(/root/reference/rio_color/workers.py:21-31: read → to_math_type → fold ops
+→ scale_dtype → write), with two engine-level optimizations the reference
+cannot do:
+
+1. **Whole-chain fusion** — the entire DSL chain plus decode/rescale runs in
+   ONE ``mapInPandas`` pass: one JVM→Python and one Python→JVM Arrow crossing
+   per batch, and a single array materialization per image (the reference
+   copies the block once per op, operations.py:192).
+2. **Within-batch shape grouping** — rows in an Arrow batch are grouped by
+   (h, w, fmt) and stacked into a single ``(C, B·h, w)`` array, so each NumPy
+   kernel launches once per group per batch instead of once per row. Pixel
+   semantics are unchanged: every op is pointwise per pixel (per band), so
+   stacking along rows is exact.
+
+Validation semantics follow the reference's fail-fast model: a ValueError
+raised by an op (domain violation) fails the task, exactly like the
+reference raising mid-pipeline. The DSL string is validated on the driver
+before the job is launched (mirrors cli.py:95-98's validate-early).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from rio_color_spark.functions.utils import scale_dtype, to_math_type
+from rio_color_spark.plans.dsl import compile_chain, parse_ops_spec
+from rio_color_spark.sources import codec
+
+
+def _stack_rows(bufs, h: int, w: int, fmt: str) -> np.ndarray:
+    """B same-shaped payloads → one (C, B*h, w) array."""
+    info = codec.format_info(fmt)
+    flat = np.frombuffer(b"".join(bufs), dtype=info.dtype)
+    # (B, C, h, w) → (C, B, h, w) → (C, B*h, w)
+    arr = flat.reshape(len(bufs), info.bands, h, w)
+    return np.ascontiguousarray(arr.transpose(1, 0, 2, 3)).reshape(
+        info.bands, len(bufs) * h, w
+    )
+
+
+def _unstack_rows(arr: np.ndarray, n: int, h: int, w: int) -> list[bytes]:
+    """(C, B*h, w) typed array → B per-row payloads."""
+    c = arr.shape[0]
+    per_row = arr.reshape(c, n, h, w).transpose(1, 0, 2, 3)
+    return [np.ascontiguousarray(per_row[i]).tobytes() for i in range(n)]
+
+
+def _transform_batch(
+    pdf: pd.DataFrame, fused, out_dtype: str | None
+) -> pd.DataFrame:
+    bufs = pdf["bytes"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    new_bytes = np.empty(len(pdf), dtype=object)
+    new_fmt = fmts.copy().astype(object)
+
+    order = np.arange(len(pdf))
+    for key in set(zip(hs.tolist(), ws.tolist(), fmts.tolist())):
+        h, w, fmt = key
+        sel = order[(hs == h) & (ws == w) & (fmts == fmt)]
+        info = codec.format_info(fmt)
+        stacked = _stack_rows([bufs[i] for i in sel], h, w, fmt)
+        math = to_math_type(stacked)
+        out = fused(math)
+        dt = np.dtype(out_dtype) if out_dtype else info.dtype
+        scaled = scale_dtype(out, dt)
+        payloads = _unstack_rows(scaled, len(sel), h, w)
+        ofmt = codec.fmt_for_dtype(dt, info.bands)
+        for i, payload in zip(sel.tolist(), payloads):
+            new_bytes[i] = payload
+            new_fmt[i] = ofmt
+
+    out_pdf = pdf.copy()
+    out_pdf["bytes"] = new_bytes
+    out_pdf["fmt"] = new_fmt
+    return out_pdf
+
+
+def color_correct(
+    df: DataFrame, ops_string: str, out_dtype: str | None = None
+) -> DataFrame:
+    """Apply a DSL op chain to every image; all non-pixel columns pass through.
+
+    ``out_dtype`` rescales the output payload (None keeps the input dtype),
+    matching the reference CLI's ``--out-dtype`` (cli.py:36-39).
+    """
+    # validate-early on the driver (bad DSL fails before any task launches)
+    parse_ops_spec(ops_string)
+    if out_dtype is not None:
+        np.iinfo(np.dtype(out_dtype))  # must be an integer dtype
+
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fused = compile_chain(ops_string)  # compiled once per task
+        for pdf in batches:
+            yield _transform_batch(pdf, fused, out_dtype)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def atmos(
+    df: DataFrame,
+    haze: float,
+    contrast: float,
+    bias: float,
+    out_dtype: str | None = None,
+) -> DataFrame:
+    """Atmospheric correction operator (reference workers.py:9-18).
+
+    Composed from the same fused-chain machinery via the canonical opstring
+    (equivalence pinned by the reference tests/test_operations.py:200-205).
+    """
+    from rio_color_spark.functions.operations import simple_atmo_opstring
+
+    return color_correct(df, simple_atmo_opstring(haze, contrast, bias), out_dtype)

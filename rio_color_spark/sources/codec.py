@@ -1,0 +1,89 @@
+"""Image payload codec for the ``bytes`` column.
+
+The engine treats pixels as an opaque ``binary`` column with typed metadata
+(`w`, `h`, `fmt`) — Catalyst never sees pixel data; Arrow moves it to Python
+workers where NumPy reinterprets the buffer zero-copy. This mirrors the
+reference's raster block model ((bands, rows, cols) ndarray,
+/root/reference/rio_color/operations.py:135) with an explicit on-wire codec.
+
+Built-in lossless formats (self-contained; rasterio/Pillow are absent here):
+
+- ``npy8``  — uint8,  3 bands (RGB),  raw C-order (3, h, w) buffer
+- ``npy8a`` — uint8,  4 bands (RGBA), raw C-order (4, h, w) buffer
+- ``npy16`` — uint16, 3 bands (RGB),  raw C-order (3, h, w) buffer,
+  little-endian
+
+Real codecs (JPEG/PNG/WebP) plug in through the same table: decode is a
+pure ``bytes, w, h -> ndarray`` function, so registering one entry makes the
+whole engine handle that format. In this container the lossy entries are
+deliberately stubbed (no image libs) — the Spark-side plumbing (schema,
+batching, UDF signatures) is identical either way.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Format:
+    name: str
+    dtype: np.dtype
+    bands: int
+    lossless: bool = True
+
+
+_FORMATS = {
+    "npy8": Format("npy8", np.dtype("uint8"), 3),
+    "npy8a": Format("npy8a", np.dtype("uint8"), 4),
+    "npy16": Format("npy16", np.dtype("<u2"), 3),
+}
+
+#: formats that would require an external codec library — stubbed here
+_STUBBED = {"jpeg", "png", "webp"}
+
+
+def format_info(fmt: str) -> Format:
+    try:
+        return _FORMATS[fmt]
+    except KeyError:
+        if fmt in _STUBBED:
+            raise NotImplementedError(
+                f"codec {fmt!r} requires an image library not present in this "
+                "environment; register a Format + decode hook to enable it"
+            )
+        raise ValueError(f"unknown image format: {fmt!r}")
+
+
+def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """binary payload → (bands, h, w) ndarray (zero-copy view where possible)."""
+    info = format_info(fmt)
+    expected = info.bands * h * w * info.dtype.itemsize
+    if len(buf) != expected:
+        raise ValueError(
+            f"payload size {len(buf)} != expected {expected} for "
+            f"fmt={fmt} w={w} h={h}"
+        )
+    return np.frombuffer(buf, dtype=info.dtype).reshape(info.bands, h, w)
+
+
+def encode(arr: np.ndarray, fmt: str) -> bytes:
+    """(bands, h, w) ndarray → binary payload."""
+    info = format_info(fmt)
+    if arr.ndim != 3 or arr.shape[0] != info.bands:
+        raise ValueError(f"array shape {arr.shape} incompatible with fmt={fmt}")
+    return np.ascontiguousarray(arr, dtype=info.dtype).tobytes()
+
+
+def fmt_for_dtype(dtype, bands: int) -> str:
+    """Pick the lossless fmt tag for an output dtype/band count."""
+    dt = np.dtype(dtype)
+    if dt == np.uint8:
+        return "npy8a" if bands == 4 else "npy8"
+    if dt == np.uint16:
+        if bands == 4:
+            raise ValueError("no 4-band uint16 format registered")
+        return "npy16"
+    raise ValueError(f"no format for dtype {dt}")

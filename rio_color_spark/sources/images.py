@@ -1,0 +1,163 @@
+"""Deterministic synthetic images table (FIXTURES.md §1).
+
+Schema is fixed by BASELINE.json's ``input_hint``:
+
+    image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+    caption:string, phash:int64
+
+Every column is a pure function of the row index ``n`` — generation is
+distributed (``spark.range(n)`` → ``mapInPandas``) and the result is
+identical under any partitioning, which is what makes the `local[8]` vs
+`local[32]` set-equality runs meaningful.
+
+``phash`` doubles as the deterministic geo seed (FIXTURES.md §1):
+
+    lon = ((phash >> 32) & 0xFFFFFFFF) / 2**32 * 360 - 180
+    lat = ( phash        & 0xFFFFFFFF) / 2**32 * 170 -  85
+
+Rows 0 and 1 embed the reference's unit-test fixtures (3×2×2 uint8 and the
+RGBA variant — /root/reference/tests/test_operations.py:15-45) so scalar
+golden checks apply to real table rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from rio_color_spark.sources import codec
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+#: reference unit fixture (tests/test_operations.py:15-30): values ×10
+GOLDEN_RGB = (np.array(
+    [[[1, 2], [3, 4]], [[5, 6], [7, 8]], [[9, 10], [11, 12]]]
+) * 10).astype(np.uint8)
+
+#: RGBA variant (tests/test_operations.py:33-45): alpha 25.5→trunc 25→×10=250
+GOLDEN_RGBA = np.concatenate(
+    [GOLDEN_RGB, (np.array([[[0, 0], [25.5, 25.5]]]).astype(np.uint8) * 10)]
+).astype(np.uint8)
+
+#: odd shapes sprinkled in to catch shape bugs (FIXTURES.md §1)
+_ODD_SHAPES = ((2, 2), (1, 1), (33, 17), (17, 33), (5, 64))
+
+_WORDS = (
+    "terrain ridge basin delta mesa canyon fjord atoll tundra steppe "
+    "harbor marsh dune crater plateau reef lagoon butte arroyo moraine"
+).split()
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 — the engine's one deterministic hash."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & _MASK
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK
+    return z ^ (z >> np.uint64(31))
+
+
+def phash_for(n: np.ndarray) -> np.ndarray:
+    """int64 phash column for row indices ``n``."""
+    return splitmix64(np.asarray(n, dtype=np.uint64)).view(np.int64)
+
+
+def lonlat_from_phash(phash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the deterministic (lon, lat) from phash halves (Mercator-safe)."""
+    u = np.asarray(phash, dtype=np.int64).view(np.uint64)
+    hi = ((u >> np.uint64(32)) & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    lo = (u & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    lon = hi / 2.0**32 * 360.0 - 180.0
+    lat = lo / 2.0**32 * 170.0 - 85.0
+    return lon, lat
+
+
+def _shape_fmt_for(n: int) -> tuple[int, int, str]:
+    """(h, w, fmt) for row n — deterministic size/dtype/band mix."""
+    if n == 0:
+        return 2, 2, "npy8"
+    if n == 1:
+        return 2, 2, "npy8a"
+    if n % 97 == 2:
+        h, w = _ODD_SHAPES[(n // 97) % len(_ODD_SHAPES)]
+    else:
+        h, w = 32, 32
+    if n % 7 == 3:
+        fmt = "npy8a"
+    elif n % 5 == 4:
+        fmt = "npy16"
+    else:
+        fmt = "npy8"
+    return h, w, fmt
+
+
+def _pixels_for(n: int, phash: int, h: int, w: int, fmt: str) -> bytes:
+    """Deterministic pixel payload: counter-based SplitMix64 over pixel index."""
+    if n == 0:
+        return codec.encode(GOLDEN_RGB, "npy8")
+    if n == 1:
+        return codec.encode(GOLDEN_RGBA, "npy8a")
+    info = codec.format_info(fmt)
+    count = info.bands * h * w
+    base = np.uint64(phash if phash >= 0 else phash + 2**64)
+    stream = splitmix64(base + np.arange(count, dtype=np.uint64))
+    if info.dtype.itemsize == 1:
+        px = (stream & np.uint64(0xFF)).astype(np.uint8)
+    else:
+        px = (stream & np.uint64(0xFFFF)).astype(np.uint16)
+    return codec.encode(px.reshape(info.bands, h, w), fmt)
+
+
+def _caption_for(n: int, phash: int) -> str:
+    u = phash & 0xFFFFFFFF
+    words = " ".join(_WORDS[(u >> (4 * k)) % len(_WORDS)] for k in range(4))
+    return f"caption for img{n:08d} :: {words}"
+
+
+def generate_pandas(indices: np.ndarray) -> pd.DataFrame:
+    """Generate image rows for explicit indices (shared by Spark + tests)."""
+    idx = np.asarray(indices, dtype=np.int64)
+    ph = phash_for(idx)
+    rows = []
+    for n, p in zip(idx.tolist(), ph.tolist()):
+        h, w, fmt = _shape_fmt_for(n)
+        rows.append(
+            (
+                f"img{n:08d}",
+                _pixels_for(n, p, h, w, fmt),
+                w,
+                h,
+                fmt,
+                _caption_for(n, p),
+                p,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    )
+
+
+def images_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed deterministic images table as a DataFrame."""
+    if partitions is None:
+        partitions = max(1, min(256, n_rows // 2048 or 1))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield generate_pandas(pdf["id"].to_numpy())
+
+    return (
+        spark.range(0, n_rows, numPartitions=partitions)
+        .mapInPandas(gen, schema=IMAGES_SCHEMA)
+    )
+
+
+def write_images(spark, n_rows: int, path: str, partitions: int | None = None):
+    """Materialize the synthetic table to parquet (bench input)."""
+    images_df(spark, n_rows, partitions).write.mode("overwrite").parquet(path)

@@ -1,0 +1,10 @@
+import pytest
+
+from rio_color_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("rio_color_spark-tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
