@@ -1,0 +1,91 @@
+"""kNN tile-neighbor lookup over the cell index.
+
+For every image, the k nearest other images among those in its cell's
+9-cell neighborhood (self cell + 8-ring — functions/cells.neighbor_ring).
+
+Plan shape: one Arrow-vectorized UDF computes each row's candidate cell
+array (9 ids) → ``explode`` → self equi-join on cell_id → native haversine
+→ windowed top-k. The equi-join on cell ids is the ONLY shuffle; AQE's
+skew-join splitting handles hot cells (city clusters). Candidate recall is
+exact for neighbors within one cell ring; k-nearest beyond the ring is out
+of contract (documented), which is the standard grid-kNN tradeoff.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from rio_color_spark.functions import cells as cellmod
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def candidate_cells_udf(level: int):
+    @pandas_udf("array<long>")
+    def _cands(cell: pd.Series) -> pd.Series:
+        c = cell.to_numpy()
+        ring = cellmod.neighbor_ring(c, level)  # (N, 8)
+        full = np.concatenate([c[:, None], ring], axis=1)  # (N, 9)
+        return pd.Series(list(full))
+
+    return _cands
+
+
+def haversine_km(lon1, lat1, lon2, lat2):
+    """Native-Column haversine — stays in whole-stage codegen."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = F.sin(dlat / 2) ** 2 + F.cos(F.radians(lat1)) * F.cos(
+        F.radians(lat2)
+    ) * F.sin(dlon / 2) ** 2
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def knn_join(
+    df: DataFrame, k: int, level: int = cellmod.DEFAULT_LEVEL
+) -> DataFrame:
+    """(image_id, neighbor_id, dist_km, rank) — k nearest within the ring.
+
+    ``df`` needs image_id, lon, lat, cell_id (from with_spatial_index).
+    Deterministic under ties (orderBy dist, neighbor_id).
+    """
+    pts = df.select("image_id", "lon", "lat", "cell_id")
+
+    left = pts.withColumn(
+        "cand_cell",
+        F.explode(candidate_cells_udf(level)(F.col("cell_id"))),
+    ).select(
+        F.col("image_id"),
+        F.col("lon"),
+        F.col("lat"),
+        F.col("cand_cell"),
+    )
+
+    right = pts.select(
+        F.col("image_id").alias("neighbor_id"),
+        F.col("lon").alias("n_lon"),
+        F.col("lat").alias("n_lat"),
+        F.col("cell_id").alias("cand_cell"),
+    )
+
+    pairs = (
+        left.join(right, "cand_cell")
+        .filter(F.col("image_id") != F.col("neighbor_id"))
+        # cube-corner rings can repeat a cell → dedupe candidate pairs
+        .dropDuplicates(["image_id", "neighbor_id"])
+        .withColumn(
+            "dist_km",
+            haversine_km(F.col("lon"), F.col("lat"), F.col("n_lon"), F.col("n_lat")),
+        )
+    )
+
+    w = Window.partitionBy("image_id").orderBy(F.col("dist_km"), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("image_id", "neighbor_id", "dist_km", "rank")
+    )
