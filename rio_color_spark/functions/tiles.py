@@ -92,6 +92,22 @@ def bbox_tile_range(
     return int(x0[0]), int(y0[0]), int(x1[0]), int(y1[0])
 
 
+def tile_pixel_lonlat(
+    x: int, y: int, zoom: int, resolution: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pixel-center lon/lat grids of a tile, separable: (lon (res,), lat (res,)).
+
+    lon is linear in pixel column; lat is the inverse-Mercator of the pixel
+    row (vectorized). Callers meshgrid as needed.
+    """
+    n = 1 << zoom
+    cols = (np.arange(resolution) + 0.5) / resolution
+    rows = (np.arange(resolution) + 0.5) / resolution
+    lon = (x + cols) / n * 360.0 - 180.0
+    lat = np.degrees(np.arctan(np.sinh(math.pi * (1.0 - 2.0 * (y + rows) / n))))
+    return lon, lat
+
+
 def pack_tile(x, y, zoom: int):
     """(x, y) → single int64 key ``(zoom << 58) | (x << 29) | y``.
 

@@ -1,0 +1,134 @@
+"""Storage facade: Iceberg-style committed writes, lineage, and resume.
+
+The north rule requires every stage to write per-partition lineage +
+row-count metrics to a checkpoint table so a killed job resumes from the
+last committed partition. With an Iceberg runtime on the classpath the
+engine uses ``df.writeTo(table).append()`` per chunk (Iceberg commits are
+already atomic, and the lineage table is a regular Iceberg table). This
+container has no Iceberg jars (SURVEY.md §7), so the facade provides the
+same contract over plain Parquet:
+
+- data lands under ``<base>/data/chunk=<k>/`` (one directory per chunk,
+  written with overwrite semantics so a re-run of a half-written chunk is
+  idempotent)
+- a chunk is COMMITTED only when a manifest row exists under
+  ``<base>/_manifest/``; manifest rows are written via tmp-file +
+  ``os.replace`` (atomic on POSIX), AFTER the data write returns
+- resume = read the manifest, skip committed chunks
+
+The contract (committed-chunk list, per-chunk lineage/row counts,
+idempotent re-run, crash between data-write and manifest-write →
+chunk re-runs) is itself under test (tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointedWriter:
+    """Chunked, resumable, lineage-tracked writer over the Parquet facade."""
+
+    def __init__(self, base_path: str):
+        self.base = base_path.rstrip("/")
+        self.manifest_dir = os.path.join(self.base, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+
+    def committed(self) -> dict[int, dict]:
+        """chunk_id → manifest record for every committed chunk."""
+        out: dict[int, dict] = {}
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.manifest_dir, name)) as f:
+                rec = json.load(f)
+            out[rec["chunk"]] = rec
+        return out
+
+    def _commit(self, record: dict) -> None:
+        name = f"chunk-{record['chunk']:06d}.json"
+        tmp = os.path.join(self.manifest_dir, f".{name}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, os.path.join(self.manifest_dir, name))  # atomic
+
+    # -- data ----------------------------------------------------------------
+
+    def chunk_path(self, chunk: int) -> str:
+        return os.path.join(self.base, "data", f"chunk={chunk}")
+
+    def write_chunk(self, df: DataFrame, chunk: int, extra: dict | None = None) -> dict:
+        """Write one chunk + commit its lineage record. Idempotent per chunk."""
+        return self.write_chunk_multi({"data": df}, chunk, extra)
+
+    def write_chunk_multi(
+        self, dfs: dict[str, DataFrame], chunk: int, extra: dict | None = None
+    ) -> dict:
+        """Write several named outputs for one chunk under one atomic commit.
+
+        Row counts for the lineage record come from reading back the written
+        parquet footers (metadata-only), so the pipeline computes each chunk
+        exactly once.
+        """
+        spark = next(iter(dfs.values())).sparkSession
+        paths: dict[str, str] = {}
+        counts: dict[str, int] = {}
+        for name, df in dfs.items():
+            path = os.path.join(self.base, name, f"chunk={chunk}")
+            df.write.mode("overwrite").parquet(path)
+            paths[name] = path
+            counts[name] = spark.read.parquet(path).count()
+        record = {
+            "chunk": chunk,
+            "n_rows": counts.get("data", sum(counts.values())),
+            "counts": counts,
+            "paths": paths,
+            "path": paths.get("data"),
+            "lineage_id": uuid.uuid4().hex,
+            "committed_at": time.time(),
+            **(extra or {}),
+        }
+        self._commit(record)
+        return record
+
+    def read(self, spark: SparkSession, name: str = "data") -> DataFrame:
+        """All committed data for one named output (uncommitted dirs ignored)."""
+        paths = [
+            r.get("paths", {"data": r.get("path")}).get(name)
+            for r in self.committed().values()
+        ]
+        paths = [p for p in paths if p]
+        if not paths:
+            raise FileNotFoundError(f"no committed chunks for {name!r} under {self.base}")
+        return spark.read.parquet(*paths)
+
+
+def run_resumable(
+    writer: CheckpointedWriter,
+    n_chunks: int,
+    make_chunk_df,
+    fail_after: int | None = None,
+) -> list[dict]:
+    """Run chunks 0..n_chunks-1, skipping committed ones (the resume loop).
+
+    ``make_chunk_df(chunk_id) -> DataFrame`` builds each chunk's output.
+    ``fail_after`` simulates a crash after N successful commits (tests).
+    """
+    done = writer.committed()
+    records = []
+    completed = 0
+    for k in range(n_chunks):
+        if k in done:
+            continue
+        records.append(writer.write_chunk(make_chunk_df(k), k))
+        completed += 1
+        if fail_after is not None and completed >= fail_after:
+            raise RuntimeError(f"simulated crash after {completed} chunks")
+    return records

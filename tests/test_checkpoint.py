@@ -1,0 +1,75 @@
+"""Checkpoint/lineage/resume contract tests (SURVEY.md §7 M6) + the
+end-to-end pipeline kill-and-resume integration test."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rio_color_spark.functions.pip import pack_polygons
+from rio_color_spark.pipeline import FLAGSHIP_OPS, run_pipeline
+from rio_color_spark.sources.catalog import CheckpointedWriter, run_resumable
+from rio_color_spark.sources.images import images_df
+from rio_color_spark.sources.polygons import make_polygons
+
+
+def test_chunked_write_and_lineage(spark, tmp_path):
+    w = CheckpointedWriter(str(tmp_path / "out"))
+    run_resumable(
+        w, 4, lambda k: spark.range(k * 10, (k + 1) * 10).withColumn("chunk", F.lit(k))
+    )
+    recs = w.committed()
+    assert sorted(recs) == [0, 1, 2, 3]
+    assert all(r["n_rows"] == 10 for r in recs.values())
+    assert len({r["lineage_id"] for r in recs.values()}) == 4
+    assert w.read(spark).count() == 40
+
+
+def test_crash_and_resume_skips_committed(spark, tmp_path):
+    base = str(tmp_path / "out")
+    w = CheckpointedWriter(base)
+    calls = []
+
+    def make(k):
+        calls.append(k)
+        return spark.range(k * 5, (k + 1) * 5)
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_resumable(w, 5, make, fail_after=2)
+    assert sorted(w.committed()) == [0, 1]
+
+    # resume with a fresh writer over the same base
+    run_resumable(CheckpointedWriter(base), 5, make)
+    assert calls == [0, 1, 2, 3, 4]  # chunks 0,1 NOT recomputed on resume
+    assert sorted(CheckpointedWriter(base).committed()) == [0, 1, 2, 3, 4]
+    assert CheckpointedWriter(base).read(spark).count() == 25
+
+
+def test_pipeline_resume_equals_uninterrupted(spark, tmp_path):
+    """Kill the pipeline mid-run, resume, compare to an uninterrupted run."""
+    n = 400
+    images = images_df(spark, n)
+    packed = pack_polygons(make_polygons(20))
+
+    a_base = str(tmp_path / "a")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(spark, images, a_base, packed, n_chunks=4, fail_after=2)
+    assert len(CheckpointedWriter(a_base).committed()) == 2
+    run_pipeline(spark, images, a_base, packed, n_chunks=4)  # resume
+
+    b_base = str(tmp_path / "b")
+    run_pipeline(spark, images, b_base, packed, n_chunks=4)  # uninterrupted
+
+    wa, wb = CheckpointedWriter(a_base), CheckpointedWriter(b_base)
+    for name in ("images", "assignments"):
+        da = wa.read(spark, name)
+        db = wb.read(spark, name)
+        assert da.count() == db.count()
+        assert da.exceptAll(db).isEmpty()
+        assert db.exceptAll(da).isEmpty()
+
+    # caption invariant: every input caption survives byte-equal
+    src = {r["image_id"]: r["caption"] for r in images.collect()}
+    out = wa.read(spark, "images").select("image_id", "caption").collect()
+    assert len(out) == n
+    for r in out:
+        assert r["caption"] == src[r["image_id"]]
