@@ -1,38 +1,525 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each queries() entry runs a REAL engine operator (rio_color_spark) and each
+oracle_sql() entry is its DuckDB twin generated from the same constants
+(rio_color_spark/plans/sql_oracles.py). Float discipline per-query is
+documented in that module; integer/string outputs are exact.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from rio_color_spark.functions import texthash as TH
+from rio_color_spark.functions.operations import gamma, sigmoidal, simple_atmo
+from rio_color_spark.functions.utils import scale_dtype, to_math_type
+from rio_color_spark.operators import ann as ANN
+from rio_color_spark.operators import dedup as DD
+from rio_color_spark.operators import textops as TO
+from rio_color_spark.operators.knn import knn_join
+from rio_color_spark.operators.spatial import cell_udf, with_tiles
+from rio_color_spark.operators.spatial_join import point_in_polygon_join
+from rio_color_spark.plans import sql_oracles as SQL
+from rio_color_spark.plans.dsl import compile_chain
+from rio_color_spark.functions.pip import pack_polygons
+
+EMB_DIM = 64
+
+# fixed PIP fixture polygons (lon/lat) spanning the doc-point domain
+PIP_POLYS = [
+    ("tri", [(-120.0, -40.0), (-40.0, -45.0), (-80.0, 45.0)]),
+    ("sq", [(-10.0, -30.0), (60.0, -30.0), (60.0, 35.0), (-10.0, 35.0)]),
+    ("hex", [(90.0, -10.0), (120.0, -35.0), (160.0, -25.0), (170.0, 20.0), (130.0, 45.0), (95.0, 25.0)]),
+]
+
+FLAGSHIP = "gamma b 1.85 gamma rg 1.95 sigmoidal rgb 35 0.13 saturation 1.15"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- native [0,1] channel derivations (exact rationals, mirror SQL.PX_*) ------
+
+
+def _px_cols(df: DataFrame) -> DataFrame:
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (((F.col("l_partkey") * 7 + F.col("l_suppkey")) % 997) / F.lit(996.0)).alias("px_r"),
+        (((F.col("l_orderkey") * 13 + F.col("l_linenumber")) % 991) / F.lit(990.0)).alias("px_g"),
+        (((F.col("l_partkey") * 3 + F.col("l_orderkey")) % 983) / F.lit(982.0)).alias("px_b"),
+    )
+
+
+def _doc_lonlat(df: DataFrame) -> DataFrame:
+    lon = ((F.col("doc_id") * 7919) % 35000) / F.lit(100.0) - F.lit(175.0) + F.lit(0.005)
+    lat = ((F.col("doc_id") * 104729) % 16000) / F.lit(100.0) - F.lit(80.0) + F.lit(0.005)
+    return df.select("doc_id", lon.alias("lon"), lat.alias("lat"))
+
+
+def _kernel1(fn, digits: int):
+    """pandas UDF applying a 1-channel NumPy kernel, rounded."""
+
+    @pandas_udf("double")
+    def _u(s: pd.Series) -> pd.Series:
+        return pd.Series(np.round(fn(s.to_numpy()), digits))
+
+    return _u
+
+
+def _kernel3(fn, digits: int, names=("out_r", "out_g", "out_b")):
+    """pandas UDF applying a (3,N,1)-array kernel to three channels."""
+    schema = ", ".join(f"{n} double" for n in names)
+
+    @pandas_udf(schema)
+    def _u(r: pd.Series, g: pd.Series, b: pd.Series) -> pd.DataFrame:
+        arr = np.stack([r.to_numpy(), g.to_numpy(), b.to_numpy()])[:, :, None]
+        out = fn(arr)
+        return pd.DataFrame(
+            {names[0]: np.round(out[0, :, 0], digits),
+             names[1]: np.round(out[1, :, 0], digits),
+             names[2]: np.round(out[2, :, 0], digits)}
+        )
+
+    return _u
+
+
+# -- pixel-math queries -------------------------------------------------------
+
+
+def q_gamma(spark, sf_dir):
+    u = _kernel1(lambda a: gamma(a, 0.95), 7)
+    return _px_cols(_t(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_linenumber", u(F.col("px_r")).alias("gamma_r")
+    )
+
+
+def q_sigmoidal(spark, sf_dir):
+    u = _kernel1(lambda a: sigmoidal(a, 10, 0.15), 7)
+    return _px_cols(_t(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_linenumber", u(F.col("px_r")).alias("sig_r")
+    )
+
+
+def q_sigmoidal_inverse(spark, sf_dir):
+    u = _kernel1(lambda a: sigmoidal(a, -10, 0.15), 7)
+    return _px_cols(_t(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_linenumber", u(F.col("px_r")).alias("inv_r")
+    )
+
+
+def q_atmo(spark, sf_dir):
+    u = _kernel3(lambda a: simple_atmo(a, 0.03, 10, 0.15), 7)
+    df = _px_cols(_t(spark, sf_dir, "lineitem"))
+    out = u(F.col("px_r"), F.col("px_g"), F.col("px_b"))
+    return df.select("l_orderkey", "l_linenumber", out["out_r"].alias("atmo_r"),
+                     out["out_g"].alias("atmo_g"), out["out_b"].alias("atmo_b"))
+
+
+def q_saturation(spark, sf_dir):
+    from rio_color_spark.functions.colorspace import saturate_rgb
+
+    u = _kernel3(lambda a: saturate_rgb(a, 1.25), 6, ("sat_r", "sat_g", "sat_b"))
+    df = _px_cols(_t(spark, sf_dir, "lineitem")).filter(F.col("l_linenumber") == 1)
+    out = u(F.col("px_r"), F.col("px_g"), F.col("px_b"))
+    return df.select("l_orderkey", out["sat_r"].alias("sat_r"),
+                     out["sat_g"].alias("sat_g"), out["sat_b"].alias("sat_b"))
+
+
+def q_dsl_chain(spark, sf_dir):
+    fused = compile_chain(FLAGSHIP)
+    u = _kernel3(fused, 6, ("c_r", "c_g", "c_b"))
+    df = _px_cols(_t(spark, sf_dir, "lineitem")).filter(F.col("l_linenumber") == 1)
+    out = u(F.col("px_r"), F.col("px_g"), F.col("px_b"))
+    return df.select("l_orderkey", out["c_r"].alias("c_r"),
+                     out["c_g"].alias("c_g"), out["c_b"].alias("c_b"))
+
+
+def q_scale_dtype(spark, sf_dir):
+    @pandas_udf("long")
+    def u(s: pd.Series) -> pd.Series:
+        px8 = scale_dtype(s.to_numpy(), np.uint8)  # truncating quantize
+        out16 = scale_dtype(to_math_type(px8), np.uint16)
+        return pd.Series(out16.astype(np.int64))
+
+    return _px_cols(_t(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_linenumber", u(F.col("px_r")).alias("px16")
+    )
+
+
+# -- spatial queries ----------------------------------------------------------
+
+
+def q_tile_encode(spark, sf_dir):
+    pts = _doc_lonlat(_t(spark, sf_dir, "documents"))
+    return with_tiles(pts, zoom=12).select("doc_id", "tile_x", "tile_y")
+
+
+def q_cell_encode(spark, sf_dir):
+    pts = _doc_lonlat(_t(spark, sf_dir, "documents"))
+    return pts.select(
+        "doc_id", cell_udf(8)(F.col("lon"), F.col("lat")).alias("cell_id")
+    )
+
+
+def q_pip_join(spark, sf_dir):
+    pts = with_tiles(_doc_lonlat(_t(spark, sf_dir, "documents")), zoom=8)
+    packed = pack_polygons([(pid, np.array(ring)) for pid, ring in PIP_POLYS])
+    out = point_in_polygon_join(pts, packed, zoom=8, pip_zoom=4)
+    return out.select("doc_id", "poly_id")
+
+
+def q_knn_geo(spark, sf_dir):
+    # rows-only check (ring-membership contract is not SQL-expressible)
+    pts = _doc_lonlat(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("string").alias("image_id"), "lon", "lat"
+    )
+    pts = pts.withColumn("cell_id", cell_udf(3)(F.col("lon"), F.col("lat")))
+    return knn_join(pts, k=3, level=3).select(
+        F.col("image_id").alias("doc_id"),
+        "neighbor_id",
+        F.round(F.col("dist_km"), 6).alias("dist_km"),
+        "rank",
+    )
+
+
+# -- dedup / text queries -----------------------------------------------------
+
+
+def _docs_doubled(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionAll(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dedup(_docs_doubled(spark, sf_dir)).select(
+        "content_md5", "n_dups", "canonical_id"
+    )
+
+
+def q_minhash_sig(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = DD.with_minhash(d)
+    return sig.select("doc_id", *[f"mh{j}" for j in range(TH.N_MINHASH)])
+
+
+def q_lsh_pairs(spark, sf_dir):
+    return DD.minhash_lsh_pairs(
+        _docs_doubled(spark, sf_dir), jaccard_threshold=0.5
+    ).select("id_a", "id_b", "jaccard")
+
+
+def q_simhash(spark, sf_dir):
+    return DD.with_simhash(_t(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, group_col="source", threshold=0.05).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return TO.with_lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred"
+    )
+
+
+def q_quality(spark, sf_dir):
+    return TO.with_quality(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "len_score", "punct_ratio", "mean_tok_len", "quality_score"
+    )
+
+
+def q_token_count(spark, sf_dir):
+    return TO.with_token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "bpe_est"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return TO.with_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+# -- embedding / ANN queries --------------------------------------------------
+
+
+def q_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = ANN.brute_force_topk(e, k=3, query_filter=F.col("id") < 50)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = ANN.lsh_bucket_topk(e, k=3, dim=EMB_DIM, query_filter=F.col("id") < 50)
+    return out.select(
+        "query_id", "bucket", "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine"), "rank",
+    )
+
+
+def q_cosine_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = ANN.cosine_neardup_pairs(e, threshold=0.35)
+    return out.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+# -- relational / streaming-adjacent showcases --------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_events_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(
+                F.window(F.col("ts"), "1 minute")["start"], "yyyy-MM-dd HH:mm:ss"
+            ).alias("minute"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+# ==============================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the images table deterministically from the
+    sf0.001 documents rows, run index → PIP → fused color-correct, return
+    the colored+indexed result (stable schema, >0 rows)."""
+    from rio_color_spark.operators.color import color_correct
+    from rio_color_spark.operators.spatial import with_spatial_index
+    from rio_color_spark.sources.images import images_df
+    from rio_color_spark.pipeline import FLAGSHIP_OPS
+
+    n = _t(spark, "/root/testdata/sf0.001", "documents").count()
+    images = images_df(spark, int(n))
+    idx = with_spatial_index(images, zoom=12, level=12)
+    colored = color_correct(idx, FLAGSHIP_OPS)
+    return colored.select(
+        "image_id", "caption", "fmt", "w", "h", "tile_x", "tile_y", "cell_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "gamma": q_gamma,
+        "sigmoidal": q_sigmoidal,
+        "sigmoidal_inverse": q_sigmoidal_inverse,
+        "simple_atmo": q_atmo,
+        "saturation": q_saturation,
+        "dsl_chain": q_dsl_chain,
+        "scale_dtype": q_scale_dtype,
+        "tile_encode": q_tile_encode,
+        "cell_encode": q_cell_encode,
+        "pip_join": q_pip_join,
+        "knn_geo": q_knn_geo,
+        "dedup_exact": q_dedup_exact,
+        "minhash_sig": q_minhash_sig,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "cosine_neardup": q_cosine_neardup,
+        "tpch_q1": q_tpch_q1,
+        "events_window": q_events_window,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    S = SQL
+    px = f"SELECT l_orderkey, l_linenumber, {S.PX_R} AS px_r, {S.PX_G} AS px_g, {S.PX_B} AS px_b FROM lineitem"
+    doc_pts = f"SELECT doc_id, {S.DOC_LON} AS lon, {S.DOC_LAT} AS lat FROM documents"
+
+    # saturation / chain share the _pix CTE convention
+    sat_cte = S.saturate_rgb_sql("px_r", "px_g", "px_b", 1.25)
+
+    # flagship chain: gamma b 1.85; gamma rg 1.95; sigmoidal rgb 35 0.13; saturation 1.15
+    g_r = S.gamma_sql("px_r", 1.95)
+    g_g = S.gamma_sql("px_g", 1.95)
+    g_b = S.gamma_sql("px_b", 1.85)
+    s_r = S.sigmoidal_sql(g_r, 35, 0.13)
+    s_g = S.sigmoidal_sql(g_g, 35, 0.13)
+    s_b = S.sigmoidal_sql(g_b, 35, 0.13)
+
+    tx, ty = S.tile_xy_sql("lon", "lat", 12)
+
+    mh_cols = ", ".join(
+        f"{S.minhash_sql('sh', j)} AS mh{j}" for j in range(TH.N_MINHASH)
+    )
+
+    edges = S.pip_edges_values_sql(PIP_POLYS)
+
+    emb = "SELECT vec_id, embedding AS v FROM embeddings"
+    cos_ab = S.cosine_sql("a.v", "b.v", EMB_DIM)
+    bucket = S.bucket_sql("v", EMB_DIM)
+
+    return {
+        "gamma": f"WITH _p AS ({px}) SELECT l_orderkey, l_linenumber, round({S.gamma_sql('px_r', 0.95)}, 7) AS gamma_r FROM _p",
+        "sigmoidal": f"WITH _p AS ({px}) SELECT l_orderkey, l_linenumber, round({S.sigmoidal_sql('px_r', 10, 0.15)}, 7) AS sig_r FROM _p",
+        "sigmoidal_inverse": f"WITH _p AS ({px}) SELECT l_orderkey, l_linenumber, round({S.sigmoidal_sql('px_r', -10, 0.15)}, 7) AS inv_r FROM _p",
+        "simple_atmo": (
+            f"WITH _p AS ({px}) SELECT l_orderkey, l_linenumber, "
+            f"round({S.sigmoidal_sql('px_r', 10, 0.15)}, 7) AS atmo_r, "
+            f"round({S.sigmoidal_sql(S.gamma_sql('px_g', 1 - 0.03 / 3.0), 10, 0.15)}, 7) AS atmo_g, "
+            f"round({S.sigmoidal_sql(S.gamma_sql('px_b', 1 - 0.03), 10, 0.15)}, 7) AS atmo_b FROM _p"
+        ),
+        "saturation": (
+            f"WITH _pix AS (SELECT * FROM ({px}) WHERE l_linenumber = 1),\n{sat_cte}"
+            "SELECT l_orderkey, round(sat_r, 6) AS sat_r, round(sat_g, 6) AS sat_g, round(sat_b, 6) AS sat_b FROM _out"
+        ),
+        "dsl_chain": (
+            f"WITH _p0 AS (SELECT * FROM ({px}) WHERE l_linenumber = 1),\n"
+            f"_pix AS (SELECT l_orderkey, {s_r} AS px_r, {s_g} AS px_g, {s_b} AS px_b FROM _p0),\n"
+            + S.saturate_rgb_sql("px_r", "px_g", "px_b", 1.15)
+            + "SELECT l_orderkey, round(sat_r, 6) AS c_r, round(sat_g, 6) AS c_g, round(sat_b, 6) AS c_b FROM _out"
+        ),
+        "scale_dtype": (
+            f"WITH _p AS ({px}) SELECT l_orderkey, l_linenumber, "
+            "CAST(floor(floor(px_r * 255) / 255.0 * 65535) AS BIGINT) AS px16 FROM _p"
+        ),
+        "tile_encode": f"WITH _d AS ({doc_pts}) SELECT doc_id, {tx} AS tile_x, {ty} AS tile_y FROM _d",
+        "cell_encode": S.cell_encode_query(doc_pts, "doc_id", 8),
+        "pip_join": (
+            f"WITH _d AS ({doc_pts}) "
+            f"SELECT d.doc_id, edges.poly_id FROM _d d, {edges} "
+            "GROUP BY d.doc_id, edges.poly_id "
+            "HAVING sum(CASE WHEN (edges.ey0 > d.lat) != (edges.ey1 > d.lat) "
+            "AND d.lon < (edges.ex1 - edges.ex0) * (d.lat - edges.ey0) / (edges.ey1 - edges.ey0) + edges.ex0 "
+            "THEN 1 ELSE 0 END) % 2 = 1"
+        ),
+        "dedup_exact": (
+            "WITH _all AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 100000, text FROM documents) "
+            "SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS canonical_id "
+            "FROM _all GROUP BY 1 HAVING count(*) >= 2"
+        ),
+        "minhash_sig": (
+            f"WITH _s AS (SELECT doc_id, {S.SHINGLE_HASHES_SQL} AS sh FROM documents) "
+            f"SELECT doc_id, {mh_cols} FROM _s"
+        ),
+        "lsh_pairs": (
+            "WITH _all AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 100000, text FROM documents),\n"
+            f"_s AS (SELECT doc_id, {S.SHINGLES_SQL} AS sh, {S.SHINGLE_HASHES_SQL} AS shh FROM _all),\n"
+            "_sig AS (SELECT doc_id, sh, "
+            + ", ".join(f"{S.minhash_sql('shh', j)} AS mh{j}" for j in range(TH.N_MINHASH))
+            + " FROM _s),\n"
+            "_band AS ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id, sh, {b} AS band, "
+                f"concat_ws('-', mh{4 * b}, mh{4 * b + 1}, mh{4 * b + 2}, mh{4 * b + 3}) AS band_sig FROM _sig"
+                for b in range(TH.LSH_BANDS)
+            )
+            + "),\n"
+            "_cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b "
+            "FROM _band a JOIN _band b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0 "
+            "THEN len(list_intersect(list_distinct(sh_a), list_distinct(sh_b)))::DOUBLE / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE "
+            "ELSE 0.0 END AS jaccard FROM _cand "
+            "WHERE CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0 "
+            "THEN len(list_intersect(list_distinct(sh_a), list_distinct(sh_b)))::DOUBLE / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE "
+            "ELSE 0.0 END >= 0.5"
+        ),
+        "simhash": (
+            f"WITH _h AS (SELECT doc_id, {S.TOKEN_HASHES_SQL} AS th FROM documents) "
+            f"SELECT doc_id, {S.simhash_sql('th')} AS simhash FROM _h"
+        ),
+        "ngram_jaccard": (
+            f"WITH _s AS (SELECT source, doc_id, list_distinct({S.SHINGLES_SQL}) AS sh FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0 "
+            "THEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE ELSE 0.0 END AS jaccard "
+            "FROM _s a JOIN _s b ON a.source = b.source AND a.doc_id < b.doc_id "
+            "WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0 "
+            "THEN len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE ELSE 0.0 END >= 0.05"
+        ),
+        "lang_id": f"SELECT doc_id, {S.lang_id_sql()} AS lang_pred FROM documents",
+        "quality": (
+            f"WITH _q AS (SELECT doc_id, len({S.TOKENS_SQL}) AS n_tok, length(text) AS n_chars, "
+            r"length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct, "
+            r"length(regexp_replace(text, '\s+', '', 'g')) AS chars_ns FROM documents) "
+            "SELECT doc_id, least(n_tok / 64.0, 1.0) AS len_score, "
+            "CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars::DOUBLE ELSE 0.0 END AS punct_ratio, "
+            "CASE WHEN n_tok > 0 THEN chars_ns::DOUBLE / n_tok::DOUBLE ELSE 0.0 END AS mean_tok_len, "
+            "0.5 * least(n_tok / 64.0, 1.0) "
+            "+ 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars::DOUBLE ELSE 0.0 END) "
+            "+ 0.2 * least((CASE WHEN n_tok > 0 THEN chars_ns::DOUBLE / n_tok::DOUBLE ELSE 0.0 END) / 8.0, 1.0) AS quality_score "
+            "FROM _q"
+        ),
+        "token_count": (
+            f"SELECT doc_id, len({S.TOKENS_SQL}) AS n_tokens, "
+            r"ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0)::BIGINT AS bpe_est FROM documents"
+        ),
+        "fingerprint": (
+            r"SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents"
+        ),
+        "ann_topk": (
+            f"WITH _e AS ({emb}), _p AS ("
+            f"SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {cos_ab} AS cosine "
+            "FROM _e a JOIN _e b ON a.vec_id < 50 AND a.vec_id != b.vec_id) "
+            "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM _p) "
+            "WHERE rank <= 3"
+        ),
+        "ann_lsh": (
+            f"WITH _e AS (SELECT vec_id, v, {bucket} AS bucket FROM ({emb})), _p AS ("
+            f"SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id, {cos_ab} AS cosine "
+            "FROM _e a JOIN _e b ON a.bucket = b.bucket AND a.vec_id < 50 AND a.vec_id != b.vec_id) "
+            "SELECT query_id, bucket, neighbor_id, round(cosine, 6) AS cosine, rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM _p) "
+            "WHERE rank <= 3"
+        ),
+        "cosine_neardup": (
+            f"WITH _e AS ({emb}) "
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cosine "
+            f"FROM _e a JOIN _e b ON a.vec_id < b.vec_id WHERE {cos_ab} >= 0.35"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_window": (
+            "SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute, "
+            "event_type, count(*) AS n, round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+    }

@@ -1,0 +1,143 @@
+"""Shared deterministic text-hashing primitives for dedup/text analysis.
+
+Every primitive here has a DuckDB-SQL twin (plans/sql_oracles.py) built from
+the SAME constants, so the driver's Spark-vs-DuckDB hash comparison is
+byte-exact. The cross-engine hash is the first 8 hex chars of md5 (both
+engines produce identical lowercase hex md5), parsed as an int64:
+
+    token_hash(t) = int(md5(t)[0:8], 16)        ∈ [0, 2^32)
+
+MinHash family: h_j(x) = (A_j * (x mod P) + B_j) mod P with P = 2^31 - 1
+and fixed (A_j, B_j); 16 hashes banded 4×4 for LSH.
+
+SimHash is 32-bit: bit b is set iff strictly more than half of the token
+hashes have bit b set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MINHASH_P = 2147483647  # 2^31 - 1
+N_MINHASH = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # N_MINHASH / LSH_BANDS
+
+# fixed affine constants (odd, < P) — shared verbatim with the SQL oracle
+MINHASH_A = [
+    1103515245, 1299709, 2147483629, 32452843, 49979687, 67867967,
+    86028121, 104395301, 122949823, 141650939, 160481183, 179424673,
+    198491317, 217645177, 236887691, 256203161,
+]
+MINHASH_B = [
+    12345, 617, 104729, 7919, 3571, 9973, 4409, 1031,
+    8191, 131071, 524287, 6700417, 2521008887, 613651349, 201560503, 999999937,
+]
+
+SIMHASH_BITS = 32
+
+#: tiny deterministic stopword lists for the language-id heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "no", "por", "que"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break order
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_hash_col(tok: Column) -> Column:
+    """First 8 md5 hex chars as int64 — the cross-engine hash."""
+    return F.conv(F.substring(F.md5(tok.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def token_hashes_col(text: Column) -> Column:
+    return F.transform(tokens_col(text), token_hash_col)
+
+
+def shingles3_col(text: Column) -> Column:
+    """3-word shingles joined by single spaces; [] when under 3 tokens."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes_col(text: Column) -> Column:
+    return F.transform(shingles3_col(text), token_hash_col)
+
+
+def minhash_col(hashes: Column, j: int) -> Column:
+    """j-th MinHash over an array<long> of element hashes (P on empty)."""
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return F.coalesce(
+        F.array_min(
+            F.transform(
+                hashes,
+                lambda x: (F.lit(a) * (x % F.lit(MINHASH_P)) + F.lit(b))
+                % F.lit(MINHASH_P),
+            )
+        ),
+        F.lit(MINHASH_P),
+    )
+
+
+def minhash_sig_cols(hashes: Column) -> list[Column]:
+    return [minhash_col(hashes, j).alias(f"mh{j}") for j in range(N_MINHASH)]
+
+
+def band_sig_col(band: int) -> Column:
+    """LSH band signature from already-materialized mh0..mh15 columns."""
+    cols = [F.col(f"mh{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+    return F.concat_ws("-", *cols)
+
+
+def simhash_col(hashes: Column) -> Column:
+    """32-bit SimHash: bit b set iff strict majority of hashes set bit b."""
+    def bit_pred(b: int):
+        # a plain 1-arg lambda with a default arg would be inspected by
+        # PySpark as a 2-arg (value, index) lambda — build via closure
+        return lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1
+
+    n = F.size(hashes)
+    acc = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        set_cnt = F.size(F.filter(hashes, bit_pred(b)))
+        acc = acc + F.when(set_cnt * 2 > n, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def hamming32_col(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def stopword_hits_col(text: Column, lang: str) -> Column:
+    toks = tokens_col(text)
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax of stopword hits over LANG_ORDER; 'und' (undetermined) on 0."""
+    hits = [stopword_hits_col(text, lang) for lang in LANG_ORDER]
+    best = F.greatest(*hits)
+    expr = F.lit("und")
+    # reversed so earlier langs win ties (the last when() checked wins... build
+    # explicitly: first matching lang in LANG_ORDER takes the tie)
+    for lang, h in reversed(list(zip(LANG_ORDER, hits))):
+        expr = F.when((best > 0) & (h == best), F.lit(lang)).otherwise(expr)
+    return expr

@@ -1,0 +1,141 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- :func:`brute_force_topk` — the exact baseline: query×candidate join with a
+  JVM-side dot product (``zip_with`` + ``aggregate`` HOFs, no Python), then
+  windowed top-k. Quadratic: correct at any scale where the query set is
+  bounded, and the oracle for the bucketed variant.
+- :func:`lsh_bucket_topk` — the scale path: random-hyperplane LSH buckets
+  (fixed deterministic hyperplanes shared with the SQL oracle); candidates
+  only within the query's bucket. Recall < 1 by construction; the bucket id
+  doubles as an IVF-style partition key.
+- :func:`cosine_neardup_pairs` — embedding near-dup pairs over a threshold.
+
+All cosines are computed in float64 with left-to-right accumulation so the
+DuckDB twin (same order) hash-matches after rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rio_color_spark.sources.images import splitmix64
+
+N_HYPERPLANES = 4
+
+
+def hyperplanes(dim: int, n: int = N_HYPERPLANES) -> np.ndarray:
+    """Deterministic pseudo-random unit hyperplanes, shared with the oracle."""
+    idx = np.arange(n * dim, dtype=np.uint64)
+    u = (splitmix64(idx) >> np.uint64(11)).astype(np.float64) / 2.0**53
+    h = (u * 2.0 - 1.0).reshape(n, dim)
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Left-to-right float64 dot product of two array columns (JVM HOFs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """LSH bucket id: sign bits of the hyperplane dot products."""
+    acc = F.lit(0)
+    for b, plane in enumerate(planes):
+        lits = F.array(*[F.lit(float(x)) for x in plane])
+        acc = acc + F.when(dot_col(vec, lits) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc
+
+
+def brute_force_topk(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    q = base.filter(query_filter) if query_filter is not None else base
+    q = q.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    c = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Bucketed ANN: candidates share the query's hyperplane-sign bucket."""
+    planes = hyperplanes(dim)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("bucket", bucket_col(F.col("v"), planes))
+    q = base.filter(query_filter) if query_filter is not None else base
+    q = q.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = base.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine ≥ threshold, id_a < id_b."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families over a generic (id, text) DataFrame:
+
+- **exact** — md5 groupBy (one shuffle on the 16-byte digest)
+- **MinHash + LSH** — shingle → 16 MinHashes → 4×4 banding → candidate
+  pairs via band equi-join → exact-Jaccard verification. The band join is
+  the canonical big-data near-dup plan: no cross join ever materializes.
+- **SimHash** — 32-bit majority-vote fingerprint; near-dups = pairs at
+  Hamming distance ≤ r among band-join candidates
+- **n-gram Jaccard** — exact 3-shingle Jaccard on candidate pairs
+
+Every hash primitive comes from functions/texthash.py and has a DuckDB
+twin, so the driver's oracle comparison covers these operators exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rio_color_spark.functions import texthash as TH
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Duplicate groups by exact content hash.
+
+    Output: (content_md5, n_dups, canonical_id) for groups with ≥2 members.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col).cast("binary")).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("id").alias("canonical_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach mh0..mh15 MinHash signature columns."""
+    hashes = TH.shingle_hashes_col(F.col(text_col))
+    return df.withColumn("_sh", hashes).select(
+        "*", *[TH.minhash_col(F.col("_sh"), j).alias(f"mh{j}") for j in range(TH.N_MINHASH)]
+    ).drop("_sh")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified by exact Jaccard.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, deduped across bands.
+    """
+    sig = with_minhash(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("text"),
+            TH.shingles3_col(F.col(text_col)).alias("shingles"),
+        )
+    )
+
+    bands = []
+    for b in range(TH.LSH_BANDS):
+        bands.append(
+            sig.select(
+                "id",
+                "shingles",
+                F.lit(b).alias("band"),
+                TH.band_sig_col(b).alias("band_sig"),
+            )
+        )
+    banded = bands[0]
+    for other in bands[1:]:
+        banded = banded.unionAll(other)
+
+    left = banded.select(
+        F.col("band"),
+        F.col("band_sig"),
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    right = banded.select(
+        F.col("band"),
+        F.col("band_sig"),
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    cand = (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — 32-bit majority-vote fingerprint per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        TH.simhash_col(TH.token_hashes_col(F.col(text_col))).alias("simhash"),
+    )
+
+
+def simhash_neardups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Pairs at Hamming distance ≤ ``max_hamming``.
+
+    Candidates via 4×8-bit band equi-join (a pair within Hamming ≤ 3 shares
+    ≥1 exact band by pigeonhole; wider radii trade recall, documented).
+    """
+    sim = with_simhash(df, id_col, text_col)
+    bands = None
+    for b in range(4):
+        part = sim.select(
+            "id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(0xFF)).alias("band_val"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+
+    left = bands.select(
+        "band", "band_val", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    right = bands.select(
+        "band", "band_val", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", TH.hamming32_col(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact 3-gram Jaccard for pairs within a blocking group.
+
+    ``group_col`` bounds the pair space (block join); None falls back to the
+    LSH candidate pairs. Output: (id_a, id_b, jaccard).
+    """
+    if group_col is None:
+        return minhash_lsh_pairs(df, id_col, text_col, threshold)
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.array_distinct(TH.shingles3_col(F.col(text_col))).alias("sh"),
+    )
+    left = base.select("grp", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = base.select("grp", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        left.join(right, "grp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
