@@ -52,6 +52,30 @@ def _unstack_rows(arr: np.ndarray, n: int, h: int, w: int) -> list[bytes]:
     return [np.ascontiguousarray(per_row[i]).tobytes() for i in range(n)]
 
 
+#: target bytes per float64 math slab (~1.5 MiB keeps the whole fused chain
+#: cache-resident; this box's DRAM bandwidth collapses under 32 concurrent
+#: float64 streams, so cache-blocking is worth ~7x aggregate throughput)
+SLAB_BYTES = 1_600_000
+
+
+def _apply_slabbed(
+    stacked: np.ndarray, fused, out_dt: np.dtype
+) -> np.ndarray:
+    """decode-scale → fused chain → rescale, in cache-sized row slabs.
+
+    Elementwise/per-pixel semantics make row-slab blocking value-exact; the
+    only observable difference vs whole-array execution is that domain
+    ValueErrors raise on the first offending slab (fail-fast either way).
+    """
+    c, h, w = stacked.shape
+    out = np.empty((c, h, w), dtype=out_dt)
+    slab_rows = max(1, SLAB_BYTES // (c * w * 8))
+    for s in range(0, h, slab_rows):
+        chunk = np.ascontiguousarray(stacked[:, s : s + slab_rows])
+        out[:, s : s + slab_rows] = scale_dtype(fused(to_math_type(chunk)), out_dt)
+    return out
+
+
 def _transform_batch(
     pdf: pd.DataFrame, fused, out_dtype: str | None
 ) -> pd.DataFrame:
@@ -69,10 +93,8 @@ def _transform_batch(
         sel = order[(hs == h) & (ws == w) & (fmts == fmt)]
         info = codec.format_info(fmt)
         stacked = _stack_rows([bufs[i] for i in sel], h, w, fmt)
-        math = to_math_type(stacked)
-        out = fused(math)
         dt = np.dtype(out_dtype) if out_dtype else info.dtype
-        scaled = scale_dtype(out, dt)
+        scaled = _apply_slabbed(stacked, fused, dt)
         payloads = _unstack_rows(scaled, len(sel), h, w)
         ofmt = codec.fmt_for_dtype(dt, info.bands)
         for i, payload in zip(sel.tolist(), payloads):
@@ -104,6 +126,57 @@ def color_correct(
         fused = compile_chain(ops_string)  # compiled once per task
         for pdf in batches:
             yield _transform_batch(pdf, fused, out_dtype)
+
+    return df.mapInPandas(run, schema=schema)
+
+
+INDEX_COLS_SCHEMA = (
+    "lon double, lat double, tile_x int, tile_y int, tile_z int, "
+    "tile_xyz long, cell_id long"
+)
+
+
+def index_and_color(
+    df: DataFrame,
+    ops_string: str,
+    zoom: int = 12,
+    level: int = 12,
+    out_dtype: str | None = None,
+) -> DataFrame:
+    """Spatial index + fused color chain in ONE Python crossing.
+
+    Chaining with_spatial_index's cell UDF stage in front of the color
+    ``mapInPandas`` puts TWO Python worker sets in every task pipeline —
+    at local[32] that is 64 concurrent heavy workers and it collapses
+    throughput (measured 25-174 s vs 4 s). This operator computes lon/lat,
+    tiles, cells (NumPy kernels) and the color chain in the same batch
+    loop: one worker set, one Arrow round-trip, same values.
+    """
+    from rio_color_spark.functions import cells as cellmod
+    from rio_color_spark.functions import tiles as tilemod
+    from rio_color_spark.sources.images import lonlat_from_phash
+
+    parse_ops_spec(ops_string)
+    if out_dtype is not None:
+        np.iinfo(np.dtype(out_dtype))
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{schema}, {INDEX_COLS_SCHEMA}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fused = compile_chain(ops_string)
+        for pdf in batches:
+            out = _transform_batch(pdf, fused, out_dtype)
+            lon, lat = lonlat_from_phash(pdf["phash"].to_numpy())
+            tx, ty = tilemod.tile_xy(lon, lat, zoom)
+            out["lon"] = lon
+            out["lat"] = lat
+            out["tile_x"] = tx.astype(np.int32)
+            out["tile_y"] = ty.astype(np.int32)
+            out["tile_z"] = np.int32(zoom)
+            out["tile_xyz"] = tilemod.pack_tile(tx, ty, zoom)
+            out["cell_id"] = cellmod.encode_cell(lon, lat, level)
+            yield out
 
     return df.mapInPandas(run, schema=schema)
 

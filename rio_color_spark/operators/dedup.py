@@ -16,10 +16,48 @@ twin, so the driver's oracle comparison covers these operators exactly.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from rio_color_spark.functions import texthash as TH
+
+_WS = re.compile(r"\s+")
+
+
+def _minhash_sig_py(text: str) -> list[int]:
+    """NumPy MinHash signature — same algorithm as texthash.minhash_col.
+
+    Token/shingle/hash definitions mirror the Column builders exactly:
+    whitespace split of trimmed lowercased text, 3-word shingles, first 8
+    md5 hex chars as the element hash.
+    """
+    toks = _WS.split(text.strip().lower())
+    sh = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    if not sh:
+        return [TH.MINHASH_P] * TH.N_MINHASH
+    hs = np.array(
+        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in sh],
+        dtype=np.int64,
+    )
+    a = np.array(TH.MINHASH_A, dtype=np.int64)[:, None]
+    b = np.array(TH.MINHASH_B, dtype=np.int64)[:, None]
+    sig = ((a * (hs % TH.MINHASH_P)[None, :] + b) % TH.MINHASH_P).min(axis=1)
+    return sig.tolist()
+
+
+def minhash_sig_udf():
+    # built lazily: pandas_udf parses its DDL type against the active session
+    @pandas_udf("array<long>")
+    def _u(texts: pd.Series) -> pd.Series:
+        return texts.map(_minhash_sig_py)
+
+    return _u
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -39,11 +77,22 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach mh0..mh15 MinHash signature columns."""
-    hashes = TH.shingle_hashes_col(F.col(text_col))
-    return df.withColumn("_sh", hashes).select(
-        "*", *[TH.minhash_col(F.col("_sh"), j).alias(f"mh{j}") for j in range(TH.N_MINHASH)]
-    ).drop("_sh")
+    """Attach mh0..mh15 MinHash signature columns.
+
+    The signature is computed in ONE Arrow-vectorized UDF call per batch —
+    building it from 16 Column HOF trees instead makes Catalyst's
+    projection collapse inline the (deep) shingle pipeline 16×, which
+    explodes codegen time; the UDF is extracted into a single
+    ArrowEvalPython node evaluated once.
+    """
+    sig = df.withColumn("_mhsig", minhash_sig_udf()(F.col(text_col)))
+    return sig.select(
+        "*",
+        *[
+            F.element_at(F.col("_mhsig"), j + 1).alias(f"mh{j}")
+            for j in range(TH.N_MINHASH)
+        ],
+    ).drop("_mhsig")
 
 
 def minhash_lsh_pairs(

@@ -23,9 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rio_color_spark.functions.pip import PackedPolygons
-from rio_color_spark.operators.color import color_correct
+from rio_color_spark.operators.color import index_and_color
 from rio_color_spark.operators.knn import knn_join
-from rio_color_spark.operators.spatial import with_spatial_index
 from rio_color_spark.operators.spatial_join import point_in_polygon_join
 from rio_color_spark.sources.catalog import CheckpointedWriter
 
@@ -59,20 +58,34 @@ def run_pipeline(
         if k in done:
             continue
         part = images.filter(chunk_col == k)
-        idx = with_spatial_index(part, zoom=zoom, level=level)
-        meta = idx.drop("bytes")  # assignment branch never carries pixels
-        outputs = {
-            "images": color_correct(idx, ops),
-            "assignments": point_in_polygon_join(meta, packed, zoom=zoom).select(
-                "image_id", "poly_id", "cell_id", "tile_xyz"
-            ),
-        }
+        # job 1: index + color fused — exactly ONE Python worker set per
+        # task (two chained Python stages collapse at high local
+        # parallelism; see operators/color.index_and_color)
+        colored = index_and_color(part, ops, zoom=zoom, level=level)
+        paths = {"images": writer.write_data(colored, "images", k)}
+
+        # job 2: assignments from the WRITTEN output — bytes pruned at the
+        # scan, cell/tile reused, again one Python stage (the PIP filter)
+        spark_ = images.sparkSession
+        meta = spark_.read.parquet(paths["images"]).select(
+            "image_id", "lon", "lat", "tile_x", "tile_y", "tile_z",
+            "tile_xyz", "cell_id",
+        )
+        assignments = point_in_polygon_join(meta, packed, zoom=zoom).select(
+            "image_id", "poly_id", "cell_id", "tile_xyz"
+        )
+        paths["assignments"] = writer.write_data(assignments, "assignments", k)
+
         if knn_k:
-            knn_idx = with_spatial_index(part, zoom=zoom, level=knn_level).drop(
-                "bytes"
+            knn_meta = meta.withColumn(
+                "cell_id",
+                F.shiftright(F.col("cell_id"), 2 * (level - knn_level)),
             )
-            outputs["knn"] = knn_join(knn_idx, k=knn_k, level=knn_level)
-        writer.write_chunk_multi(outputs, k)
+            paths["knn"] = writer.write_data(
+                knn_join(knn_meta, k=knn_k, level=knn_level), "knn", k
+            )
+
+        writer.commit_chunk(k, paths)
         completed += 1
         if fail_after is not None and completed >= fail_after:
             raise RuntimeError(f"simulated crash after {completed} chunks")

@@ -13,9 +13,21 @@ import os
 from pyspark.sql import SparkSession
 
 #: rows per Arrow batch crossing into Python workers. At the default 32×32
-#: uint8 RGB payload (~3 KiB/row) this bounds a batch to ~2 MiB, keeping
-#: per-task memory flat regardless of partition size.
-ARROW_BATCH_ROWS = 512
+#: uint8 RGB payload (~3 KiB/row) this bounds a batch to ~6 MiB, keeping
+#: per-task memory flat regardless of partition size (the color operator
+#: further cache-blocks the math inside each batch — see operators/color.py).
+ARROW_BATCH_ROWS = 2048
+
+#: every elementwise kernel is single-threaded by design — parallelism comes
+#: from Spark tasks. Pin the numeric libraries' thread pools so 32 python
+#: workers don't each spawn their own.
+_WORKER_ENV_PINS = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
 
 
 def get_spark(
@@ -35,6 +47,10 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    # local-mode python workers inherit the driver env
+    for k, v in _WORKER_ENV_PINS.items():
+        os.environ.setdefault(k, v)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -44,10 +60,29 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.parquet.compression.codec", "zstd")
         # binary image payloads compress poorly and dictionary-encode worse
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # straggler re-runs are valuable on a real cluster but duplicate
+        # heavy Python tasks on this oversubscribed single box — opt-in
+        .config(
+            "spark.speculation",
+            os.environ.get("SPARK_GRAFT_SPECULATION", "false"),
+        )
+        .config("spark.speculation.multiplier", "2")
+        .config("spark.speculation.quantile", "0.9")
+        # image rows are ~3 KiB; 16 MiB scan partitions ≈ 5k rows/task —
+        # big enough to amortize the per-task Python worker round-trip,
+        # small enough to load-balance
+        .config("spark.sql.files.maxPartitionBytes", "16m")
     )
+    # shuffle/spill scratch on tmpfs when available: the sandbox's single
+    # virtio disk collapses under concurrent writers (a cluster's shuffle
+    # goes to per-node local disks)
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        scratch = "/dev/shm/spark-local"
+        os.makedirs(scratch, exist_ok=True)
+        builder = builder.config("spark.local.dir", scratch)
     return builder.getOrCreate()

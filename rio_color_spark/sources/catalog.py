@@ -68,6 +68,30 @@ class CheckpointedWriter:
         """Write one chunk + commit its lineage record. Idempotent per chunk."""
         return self.write_chunk_multi({"data": df}, chunk, extra)
 
+    def write_data(self, df: DataFrame, name: str, chunk: int) -> str:
+        """Write one named output of a chunk (no commit yet); returns path."""
+        path = os.path.join(self.base, name, f"chunk={chunk}")
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def commit_chunk(self, chunk: int, paths: dict[str, str]) -> dict:
+        """Count the written outputs (parquet footers) and commit atomically."""
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        counts = {name: spark.read.parquet(p).count() for name, p in paths.items()}
+        record = {
+            "chunk": chunk,
+            "n_rows": counts.get("data", sum(counts.values())),
+            "counts": counts,
+            "paths": dict(paths),
+            "path": paths.get("data"),
+            "lineage_id": uuid.uuid4().hex,
+            "committed_at": time.time(),
+        }
+        self._commit(record)
+        return record
+
     def write_chunk_multi(
         self, dfs: dict[str, DataFrame], chunk: int, extra: dict | None = None
     ) -> dict:
@@ -81,10 +105,8 @@ class CheckpointedWriter:
         paths: dict[str, str] = {}
         counts: dict[str, int] = {}
         for name, df in dfs.items():
-            path = os.path.join(self.base, name, f"chunk={chunk}")
-            df.write.mode("overwrite").parquet(path)
-            paths[name] = path
-            counts[name] = spark.read.parquet(path).count()
+            paths[name] = self.write_data(df, name, chunk)
+            counts[name] = spark.read.parquet(paths[name]).count()
         record = {
             "chunk": chunk,
             "n_rows": counts.get("data", sum(counts.values())),

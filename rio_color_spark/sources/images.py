@@ -121,22 +121,43 @@ def _caption_for(n: int, phash: int) -> str:
 
 
 def generate_pandas(indices: np.ndarray) -> pd.DataFrame:
-    """Generate image rows for explicit indices (shared by Spark + tests)."""
+    """Generate image rows for explicit indices (shared by Spark + tests).
+
+    Payloads are produced group-vectorized: all rows sharing (h, w, fmt)
+    get their pixel streams from ONE SplitMix64 call over a (rows × pixels)
+    index grid — the per-row result is identical to calling
+    :func:`_pixels_for` row by row (the golden rows 0/1 stay special-cased).
+    """
     idx = np.asarray(indices, dtype=np.int64)
     ph = phash_for(idx)
+    shapes = [_shape_fmt_for(int(n)) for n in idx]
+
+    payloads: dict[int, bytes] = {}
+    by_shape: dict[tuple, list[int]] = {}
+    for k, n in enumerate(idx.tolist()):
+        if n <= 1:
+            h, w, fmt = shapes[k]
+            payloads[k] = _pixels_for(n, int(ph[k]), h, w, fmt)
+        else:
+            by_shape.setdefault(shapes[k], []).append(k)
+
+    for (h, w, fmt), ks in by_shape.items():
+        info = codec.format_info(fmt)
+        count = info.bands * h * w
+        base = ph[ks].view(np.uint64)[:, None]
+        stream = splitmix64(base + np.arange(count, dtype=np.uint64)[None, :])
+        if info.dtype.itemsize == 1:
+            px = (stream & np.uint64(0xFF)).astype(np.uint8)
+        else:
+            px = (stream & np.uint64(0xFFFF)).astype("<u2")
+        for row, k in enumerate(ks):
+            payloads[k] = px[row].tobytes()
+
     rows = []
-    for n, p in zip(idx.tolist(), ph.tolist()):
-        h, w, fmt = _shape_fmt_for(n)
+    for k, (n, p) in enumerate(zip(idx.tolist(), ph.tolist())):
+        h, w, fmt = shapes[k]
         rows.append(
-            (
-                f"img{n:08d}",
-                _pixels_for(n, p, h, w, fmt),
-                w,
-                h,
-                fmt,
-                _caption_for(n, p),
-                p,
-            )
+            (f"img{n:08d}", payloads[k], w, h, fmt, _caption_for(n, p), p)
         )
     return pd.DataFrame(
         rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
