@@ -154,6 +154,48 @@ def q_scale_dtype(spark, sf_dir):
     )
 
 
+def q_colorspace_lch(spark, sf_dir):
+    """convert_arr rgb→lch through the real vectorized routing."""
+    from rio_color_spark.functions.colorspace import ColorSpace, convert_arr
+
+    u = _kernel3(
+        lambda a: convert_arr(a, ColorSpace.rgb, ColorSpace.lch), 6, ("l_", "c_", "h_")
+    )
+    df = _px_cols(_t(spark, sf_dir, "lineitem")).filter(F.col("l_linenumber") == 1)
+    out = u(F.col("px_r"), F.col("px_g"), F.col("px_b"))
+    return df.select(
+        "l_orderkey", out["l_"].alias("l_"), out["c_"].alias("c_"), out["h_"].alias("h_")
+    )
+
+
+MAGICK_GOLDEN_IN = (
+    "-channel B -sigmoidal-contrast 4 -gamma 0.95 "
+    "-channel r -gamma 1.10 "
+    "-channel rgb -sigmoidal-contrast 1x55% "
+    "-channel G -gamma 0.9 -modulate 100,125 "
+    "+channel -sigmoidal-contrast 3,40% -modulate 222,135"
+)
+MAGICK_GOLDEN_OUT = (
+    "sigmoidal B 4 0.5 gamma B 0.95 gamma R 1.10 sigmoidal RGB 1 0.55 "
+    "gamma G 0.9 saturation 1.25 sigmoidal RGB 3 0.4 saturation 1.35"
+)
+
+
+def q_magick_to_rio(spark, sf_dir):
+    """driver-side string translator — output pinned against the golden."""
+    from rio_color_spark.functions.utils import magick_to_rio
+
+    return spark.createDataFrame([(magick_to_rio(MAGICK_GOLDEN_IN),)], "rio_ops string")
+
+
+def q_atmo_opstring(spark, sf_dir):
+    from rio_color_spark.functions.operations import simple_atmo_opstring
+
+    return spark.createDataFrame(
+        [(simple_atmo_opstring(0.03, 10, 0.15),)], "atmo_ops string"
+    )
+
+
 # -- spatial queries ----------------------------------------------------------
 
 
@@ -279,6 +321,42 @@ def q_cosine_neardup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
+# -- image-table operators (synthesized input; rows-only checks) --------------
+
+
+def _synth_images(spark, sf_dir, n=400):
+    from rio_color_spark.sources.images import images_df
+
+    return images_df(spark, n)
+
+
+def q_rasterize_points(spark, sf_dir):
+    from rio_color_spark.operators.rasterize import rasterize_points
+    from rio_color_spark.operators.spatial import with_spatial_index
+
+    idx = with_spatial_index(_synth_images(spark, sf_dir).drop("bytes"), zoom=4, level=6)
+    out = rasterize_points(idx, resolution=16, salt_n=4)
+    return out.select("tile_xyz", "tile_x", "tile_y", "tile_z", "n_points")
+
+
+def q_resize_images(spark, sf_dir):
+    from rio_color_spark.operators.media import resize_images
+
+    out = resize_images(_synth_images(spark, sf_dir), 8, 8)
+    return out.select("image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes"))
+
+
+def q_band_stats(spark, sf_dir):
+    from rio_color_spark.operators.media import with_band_stats
+
+    out = with_band_stats(_synth_images(spark, sf_dir))
+    return out.select(
+        "image_id", "band",
+        F.round(F.col("mean"), 6).alias("mean"),
+        F.round(F.col("std"), 6).alias("std"),
+    )
+
+
 # -- relational / streaming-adjacent showcases --------------------------------
 
 
@@ -316,15 +394,13 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize the images table deterministically from the
     sf0.001 documents rows, run index → PIP → fused color-correct, return
     the colored+indexed result (stable schema, >0 rows)."""
-    from rio_color_spark.operators.color import color_correct
-    from rio_color_spark.operators.spatial import with_spatial_index
+    from rio_color_spark.operators.color import index_and_color
     from rio_color_spark.sources.images import images_df
     from rio_color_spark.pipeline import FLAGSHIP_OPS
 
     n = _t(spark, "/root/testdata/sf0.001", "documents").count()
     images = images_df(spark, int(n))
-    idx = with_spatial_index(images, zoom=12, level=12)
-    colored = color_correct(idx, FLAGSHIP_OPS)
+    colored = index_and_color(images, FLAGSHIP_OPS, zoom=12, level=12)
     return colored.select(
         "image_id", "caption", "fmt", "w", "h", "tile_x", "tile_y", "cell_id"
     )
@@ -339,6 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "saturation": q_saturation,
         "dsl_chain": q_dsl_chain,
         "scale_dtype": q_scale_dtype,
+        "colorspace_lch": q_colorspace_lch,
+        "magick_to_rio": q_magick_to_rio,
+        "atmo_opstring": q_atmo_opstring,
         "tile_encode": q_tile_encode,
         "cell_encode": q_cell_encode,
         "pip_join": q_pip_join,
@@ -355,6 +434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "cosine_neardup": q_cosine_neardup,
+        "rasterize_points": q_rasterize_points,
+        "resize_images": q_resize_images,
+        "band_stats": q_band_stats,
         "tpch_q1": q_tpch_q1,
         "events_window": q_events_window,
     }
@@ -411,6 +493,15 @@ def oracle_sql() -> dict[str, str]:
         "scale_dtype": (
             f"WITH _p AS ({px}) SELECT l_orderkey, l_linenumber, "
             "CAST(floor(floor(px_r * 255) / 255.0 * 65535) AS BIGINT) AS px16 FROM _p"
+        ),
+        "colorspace_lch": (
+            f"WITH _pix AS (SELECT * FROM ({px}) WHERE l_linenumber = 1),\n"
+            + S.rgb_to_lch_sql("px_r", "px_g", "px_b")
+            + "SELECT l_orderkey, round(l_, 6) AS l_, round(c_, 6) AS c_, round(h_, 6) AS h_ FROM _lchout"
+        ),
+        "magick_to_rio": f"SELECT '{MAGICK_GOLDEN_OUT}' AS rio_ops",
+        "atmo_opstring": (
+            "SELECT 'gamma g 0.99, gamma b 0.97, sigmoidal rgb 10 0.15' AS atmo_ops"
         ),
         "tile_encode": f"WITH _d AS ({doc_pts}) SELECT doc_id, {tx} AS tile_x, {ty} AS tile_y FROM _d",
         "cell_encode": S.cell_encode_query(doc_pts, "doc_id", 8),

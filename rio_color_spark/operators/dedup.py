@@ -51,6 +51,27 @@ def _minhash_sig_py(text: str) -> list[int]:
     return sig.tolist()
 
 
+def _simhash_py(text: str) -> int:
+    """32-bit majority SimHash — same algorithm as texthash.simhash_col."""
+    toks = _WS.split(text.strip().lower())
+    hs = np.array(
+        [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) for t in toks],
+        dtype=np.int64,
+    )
+    n = len(hs)
+    bits = (hs[:, None] >> np.arange(TH.SIMHASH_BITS)[None, :]) & 1  # (n, 32)
+    maj = bits.sum(axis=0) * 2 > n
+    return int((maj.astype(np.int64) << np.arange(TH.SIMHASH_BITS)).sum())
+
+
+def simhash_udf():
+    @pandas_udf("long")
+    def _u(texts: pd.Series) -> pd.Series:
+        return texts.map(_simhash_py)
+
+    return _u
+
+
 def minhash_sig_udf():
     # built lazily: pandas_udf parses its DDL type against the active session
     @pandas_udf("array<long>")
@@ -161,10 +182,14 @@ def minhash_lsh_pairs(
 
 
 def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash) — 32-bit majority-vote fingerprint per document."""
+    """(id, simhash) — 32-bit majority-vote fingerprint per document.
+
+    One Arrow UDF call per batch (the 32 Column-HOF formulation in
+    texthash.simhash_col is kept as the cross-checked reference but costs
+    32 passes over the token array in codegen)."""
     return df.select(
         F.col(id_col).alias("id"),
-        TH.simhash_col(TH.token_hashes_col(F.col(text_col))).alias("simhash"),
+        simhash_udf()(F.col(text_col)).alias("simhash"),
     )
 
 

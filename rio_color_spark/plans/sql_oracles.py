@@ -130,6 +130,23 @@ def saturate_rgb_sql(r: str, g: str, b: str, satmult: float, digits: int = 6) ->
     )
 
 
+def rgb_to_lch_sql(r: str, g: str, b: str) -> str:
+    """CTE-list fragment: ``_pix`` channels → ``_lchout`` with l_, c_, h_
+    (the SQL twin of colorspace.convert_arr rgb→lch routing)."""
+    rl, gl, bl = _compand_sql(r), _compand_sql(g), _compand_sql(b)
+    x = f"(({rl} * 0.4124564 + {gl} * 0.3575761 + {bl} * 0.1804375) / {_XN!r})"
+    y = f"({rl} * 0.2126729 + {gl} * 0.7151522 + {bl} * 0.0721750)"
+    z = f"(({rl} * 0.0193339 + {gl} * 0.1191920 + {bl} * 0.9503041) / {_ZN!r})"
+    return (
+        f"_xyz AS (SELECT *, {x} AS cx, {y} AS cy, {z} AS cz FROM _pix),\n"
+        f"_lab AS (SELECT *, 116.0 * {_f_lab_sql('cy')} - 16.0 AS cl,\n"
+        f"  500.0 * ({_f_lab_sql('cx')} - {_f_lab_sql('cy')}) AS ca,\n"
+        f"  200.0 * ({_f_lab_sql('cy')} - {_f_lab_sql('cz')}) AS cb FROM _xyz),\n"
+        f"_lchout AS (SELECT *, cl AS l_, sqrt(ca*ca + cb*cb) AS c_,\n"
+        f"  atan2(cb, ca) AS h_ FROM _lab)\n"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text-hash expression builders (SQL mirrors of functions/texthash.py)
 # ---------------------------------------------------------------------------
