@@ -208,20 +208,26 @@ def main() -> None:
     # with nodes, a 4N-thread local mode does not.
     scaling = {}
     if not args.no_scaling:
+        # INTERLEAVED repeats, min per level: the host's fair-share CPU
+        # allocator makes capacity drift over minutes (low-N runs can even
+        # look super-linear if measured in one block); interleaving exposes
+        # every level to the same host conditions, min filters the noise
+        times: dict[int, list[float]] = {2: [], 8: [], 32: []}
+        for _ in range(3):
+            for cpus in (2, 8, 32):
+                times[cpus].append(
+                    round(pipeline_subprocess(cpus, img_path, n_images), 3)
+                )
         rates = {}
-        for cpus in (2, 8, 32):
-            # min of 2 runs: the host has noisy-neighbor capacity swings;
-            # min estimates true engine throughput at that parallelism
-            t = min(
-                pipeline_subprocess(cpus, img_path, n_images) for _ in range(2)
-            )
-            per_query[f"pipeline_local{cpus}"] = round(t, 3)
-            rates[cpus] = n_images / t
+        for cpus, ts in times.items():
+            per_query[f"pipeline_local{cpus}"] = min(ts)
+            rates[cpus] = n_images / min(ts)
         scaling = {
             f"local[{c}]_images_per_sec": round(r, 1) for c, r in rates.items()
         }
         scaling["efficiency_2_to_8"] = round((rates[8] / rates[2]) / 4.0, 3)
         scaling["efficiency_8_to_32"] = round((rates[32] / rates[8]) / 4.0, 3)
+        scaling["all_runs_sec"] = {str(c): ts for c, ts in times.items()}
         scaling["cpu_envelope"] = cpu_envelope()
         images_per_sec = round(rates[32], 1)
     else:

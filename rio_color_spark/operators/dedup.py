@@ -81,6 +81,23 @@ def minhash_sig_udf():
     return _u
 
 
+def _shingles_py(text: str) -> list[str]:
+    toks = _WS.split(text.strip().lower())
+    return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+
+def shingles_and_sig_udf():
+    """One Arrow pass computing both the shingle set and the MinHash sig."""
+
+    @pandas_udf("struct<sh: array<string>, sig: array<long>>")
+    def _u(texts: pd.Series) -> pd.DataFrame:
+        sh = texts.map(_shingles_py)
+        sig = texts.map(_minhash_sig_py)
+        return pd.DataFrame({"sh": sh, "sig": sig})
+
+    return _u
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Duplicate groups by exact content hash.
 
@@ -125,28 +142,31 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash banding, verified by exact Jaccard.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, deduped across bands.
-    """
-    sig = with_minhash(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(text_col).alias("text"),
-            TH.shingles3_col(F.col(text_col)).alias("shingles"),
-        )
-    )
 
-    bands = []
-    for b in range(TH.LSH_BANDS):
-        bands.append(
-            sig.select(
-                "id",
-                "shingles",
-                F.lit(b).alias("band"),
-                TH.band_sig_col(b).alias("band_sig"),
+    Plan shape: ONE Arrow pass computes shingles + signature; bands come
+    from ``posexplode`` of the per-band signature array (a unionAll of four
+    selects would recompute the signature lineage four times per side).
+    """
+    enriched = df.select(
+        F.col(id_col).alias("id"),
+        shingles_and_sig_udf()(F.col(text_col)).alias("m"),
+    ).select("id", F.col("m.sh").alias("shingles"), F.col("m.sig").alias("sig"))
+
+    band_sigs = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.element_at(F.col("sig"), b * TH.LSH_ROWS + r + 1)
+                    for r in range(TH.LSH_ROWS)
+                ],
             )
-        )
-    banded = bands[0]
-    for other in bands[1:]:
-        banded = banded.unionAll(other)
+            for b in range(TH.LSH_BANDS)
+        ]
+    )
+    banded = enriched.select(
+        "id", "shingles", F.posexplode(band_sigs).alias("band", "band_sig")
+    )
 
     left = banded.select(
         F.col("band"),
