@@ -317,7 +317,7 @@ def q_ann_lsh(spark, sf_dir):
 
 def q_cosine_neardup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    out = ANN.cosine_neardup_pairs(e, threshold=0.35)
+    out = ANN.cosine_neardup_pairs(e, threshold=0.35, dim=EMB_DIM)
     return out.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
@@ -596,9 +596,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rank <= 3"
         ),
         "cosine_neardup": (
-            f"WITH _e AS ({emb}) "
-            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cosine "
-            f"FROM _e a JOIN _e b ON a.vec_id < b.vec_id WHERE {cos_ab} >= 0.35"
+            # mirrors the engine's multi-table LSH candidates exactly:
+            # same seeded hyperplanes, same buckets, same verify threshold
+            f"WITH _e AS ({emb}),\n_t AS ("
+            + " UNION ALL ".join(
+                f"SELECT vec_id, {t} AS tbl, {S.bucket_sql('v', EMB_DIM, seed=t)} AS bkt FROM _e"
+                for t in range(3)
+            )
+            + "),\n_cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM _t a JOIN _t b ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id) "
+            f"SELECT id_a, id_b, round({S.cosine_sql('ea.v', 'eb.v', EMB_DIM)}, 6) AS cosine "
+            "FROM _cand JOIN _e ea ON ea.vec_id = id_a JOIN _e eb ON eb.vec_id = id_b "
+            f"WHERE {S.cosine_sql('ea.v', 'eb.v', EMB_DIM)} >= 0.35"
         ),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

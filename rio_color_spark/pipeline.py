@@ -1,20 +1,25 @@
 """The flagship end-to-end pipeline (BASELINE.json metric):
 
     read images → spatial index (lon/lat, XYZ tiles, cells)
-        → PIP broadcast join (assignments, pixel-free)
+        → PIP assignment (fused, pixel-free poly_ids column)
         → fused color-correct (single mapInPandas)
         → chunked checkpointed write (images + assignments + lineage)
 
 Plan properties at scale:
 
+- **exactly ONE Python crossing per image, ever**: decode, color chain,
+  tile/cell encode, and the PIP ray cast all run in the same
+  ``index_and_color`` batch loop (operators/color.py); assignments are a
+  JVM-side ``explode(poly_ids)`` over the already-written chunk output
+  with ``bytes`` pruned at the parquet scan
+- **no source re-scan**: when the input is a path, chunks are deterministic
+  stripes of the source's data FILES (the Parquet-facade analogue of
+  Iceberg manifest-level split planning) — chunk k's job reads ONLY chunk
+  k's files, so resume prunes at the scan and a full run reads each input
+  byte once. A plain DataFrame input (no files) falls back to hash
+  chunking, which re-scans the (in-memory/small) source per chunk.
 - the ONLY wide dependency in the whole job is the parquet write's file
-  layout; indexing, PIP (broadcast), and color are all narrow — a chunk is
-  one scan → map → write lineage-committed unit
-- ``bytes`` never enters the assignment branch (column pruning: the PIP
-  path projects the ~60-byte metadata columns only)
-- resume: committed chunks are skipped at the driver; with Iceberg, the
-  chunk key is the table partition column so the skip prunes at the scan
-  (SURVEY.md §4.2); on the Parquet facade it's a scan filter
+  layout; everything else is narrow map work
 """
 
 from __future__ import annotations
@@ -25,16 +30,43 @@ from pyspark.sql import functions as F
 from rio_color_spark.functions.pip import PackedPolygons
 from rio_color_spark.operators.color import index_and_color
 from rio_color_spark.operators.knn import knn_join
-from rio_color_spark.operators.spatial_join import point_in_polygon_join
 from rio_color_spark.sources.catalog import CheckpointedWriter
 
 #: the reference README's canonical example chain (README.md:29-47)
 FLAGSHIP_OPS = "gamma b 1.85, gamma rg 1.95, sigmoidal rgb 35 0.13, saturation 1.15"
 
 
+def chunk_readers(
+    spark: SparkSession, images: DataFrame | str, n_chunks: int
+) -> list:
+    """n_chunks thunks, each yielding one chunk's DataFrame on call.
+
+    Path input → stripe the source's files round-robin (sorted for
+    determinism): chunk k's scan touches only its own files, so the whole
+    run reads each source byte exactly once and resume skips committed
+    chunks at the scan. With Iceberg this is manifest-level split
+    planning; on the Parquet facade it is the file listing.
+
+    DataFrame input → ``pmod(xxhash64(image_id))`` hash chunks; each chunk
+    re-evaluates the source plan (acceptable for in-memory test inputs,
+    not for a 100-TB table — pass the path for those).
+    """
+    if isinstance(images, str):
+        files = sorted(spark.read.parquet(images).inputFiles())
+        if len(files) >= n_chunks:
+            stripes = [files[k::n_chunks] for k in range(n_chunks)]
+            return [
+                (lambda s=stripe: spark.read.parquet(*s)) for stripe in stripes
+            ]
+        images = spark.read.parquet(images)
+    df = images
+    chunk_col = F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_chunks))
+    return [(lambda k=k: df.filter(chunk_col == k)) for k in range(n_chunks)]
+
+
 def run_pipeline(
     spark: SparkSession,
-    images: DataFrame,
+    images: DataFrame | str,
     out_base: str,
     packed: PackedPolygons,
     ops: str = FLAGSHIP_OPS,
@@ -47,32 +79,35 @@ def run_pipeline(
 ) -> CheckpointedWriter:
     """Run (or resume) the pipeline; returns the writer for readback.
 
-    ``fail_after`` simulates a crash after N chunk commits (resume tests).
+    ``images`` may be a parquet path (preferred: file-stripe chunking, one
+    scan per input byte) or a DataFrame. ``fail_after`` simulates a crash
+    after N chunk commits (resume tests).
     """
     writer = CheckpointedWriter(out_base)
-    chunk_col = F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_chunks))
+    readers = chunk_readers(spark, images, n_chunks)
 
     done = writer.committed()
     completed = 0
     for k in range(n_chunks):
         if k in done:
             continue
-        part = images.filter(chunk_col == k)
-        # job 1: index + color fused — exactly ONE Python worker set per
-        # task (two chained Python stages collapse at high local
-        # parallelism; see operators/color.index_and_color)
-        colored = index_and_color(part, ops, zoom=zoom, level=level)
+        part = readers[k]()
+        # job 1: index + PIP + color fused — exactly ONE Python worker set
+        # per task (see operators/color.index_and_color)
+        colored = index_and_color(part, ops, zoom=zoom, level=level, packed=packed)
         paths = {"images": writer.write_data(colored, "images", k)}
 
         # job 2: assignments from the WRITTEN output — bytes pruned at the
-        # scan, cell/tile reused, again one Python stage (the PIP filter)
-        spark_ = images.sparkSession
-        meta = spark_.read.parquet(paths["images"]).select(
+        # scan, poly_ids exploded JVM-side; zero Python stages
+        meta = spark.read.parquet(paths["images"]).select(
             "image_id", "lon", "lat", "tile_x", "tile_y", "tile_z",
-            "tile_xyz", "cell_id",
+            "tile_xyz", "cell_id", "poly_ids",
         )
-        assignments = point_in_polygon_join(meta, packed, zoom=zoom).select(
-            "image_id", "poly_id", "cell_id", "tile_xyz"
+        assignments = meta.select(
+            "image_id",
+            F.explode("poly_ids").alias("poly_id"),
+            "cell_id",
+            "tile_xyz",
         )
         paths["assignments"] = writer.write_data(assignments, "assignments", k)
 

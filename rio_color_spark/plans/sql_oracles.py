@@ -230,8 +230,8 @@ def plane_literal_sql(plane) -> str:
     return "([" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[])"
 
 
-def bucket_sql(vec: str, dim: int) -> str:
-    planes = hyperplanes(dim)
+def bucket_sql(vec: str, dim: int, seed: int = 0) -> str:
+    planes = hyperplanes(dim, seed=seed)
     terms = []
     for b, plane in enumerate(planes):
         terms.append(

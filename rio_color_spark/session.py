@@ -75,8 +75,15 @@ def get_spark(
         .config("spark.speculation.quantile", "0.9")
         # image rows are ~3 KiB; 16 MiB scan partitions ≈ 5k rows/task —
         # big enough to amortize the per-task Python worker round-trip,
-        # small enough to load-balance
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # small enough to load-balance. Env-tunable because the right value
+        # scales with input size / core count: a heavy Python-stage job
+        # wants ≥ 2-4 tasks per core, and parquet can't split below a row
+        # group, so small-file inputs may need a lower cap to fan out.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
+        .config("spark.ui.showConsoleProgress", "false")
     )
     # shuffle/spill scratch on tmpfs when available: the sandbox's single
     # virtio disk collapses under concurrent writers (a cluster's shuffle

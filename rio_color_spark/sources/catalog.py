@@ -74,12 +74,27 @@ class CheckpointedWriter:
         df.write.mode("overwrite").parquet(path)
         return path
 
+    @staticmethod
+    def _count_rows(path: str) -> int:
+        """Row count of a written parquet dir from footers only.
+
+        Local paths read footers driver-side via pyarrow (milliseconds, no
+        Spark job); non-local paths fall back to a metadata-only Spark count.
+        """
+        if os.path.isdir(path):
+            import pyarrow.parquet as pq
+
+            return sum(
+                pq.read_metadata(os.path.join(path, f)).num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        spark = SparkSession.getActiveSession()
+        return spark.read.parquet(path).count()
+
     def commit_chunk(self, chunk: int, paths: dict[str, str]) -> dict:
         """Count the written outputs (parquet footers) and commit atomically."""
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
-        counts = {name: spark.read.parquet(p).count() for name, p in paths.items()}
+        counts = {name: self._count_rows(p) for name, p in paths.items()}
         record = {
             "chunk": chunk,
             "n_rows": counts.get("data", sum(counts.values())),
@@ -101,12 +116,11 @@ class CheckpointedWriter:
         parquet footers (metadata-only), so the pipeline computes each chunk
         exactly once.
         """
-        spark = next(iter(dfs.values())).sparkSession
         paths: dict[str, str] = {}
         counts: dict[str, int] = {}
         for name, df in dfs.items():
             paths[name] = self.write_data(df, name, chunk)
-            counts[name] = spark.read.parquet(paths[name]).count()
+            counts[name] = self._count_rows(paths[name])
         record = {
             "chunk": chunk,
             "n_rows": counts.get("data", sum(counts.values())),

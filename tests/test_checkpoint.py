@@ -73,3 +73,53 @@ def test_pipeline_resume_equals_uninterrupted(spark, tmp_path):
     assert len(out) == n
     for r in out:
         assert r["caption"] == src[r["image_id"]]
+
+
+def test_pipeline_file_chunking_single_scan(spark, tmp_path):
+    """Path input stripes source FILES across chunks: each chunk reads only
+    its own files (no re-scan), union of chunk outputs == full input."""
+    from rio_color_spark.pipeline import chunk_readers
+
+    n = 300
+    src = str(tmp_path / "src")
+    images_df(spark, n).repartition(8).write.parquet(src)
+
+    readers = chunk_readers(spark, src, 4)
+    seen_files: set[str] = set()
+    total = 0
+    for r in readers:
+        df = r()
+        files = set(df.inputFiles())
+        assert not (files & seen_files)  # disjoint stripes
+        seen_files |= files
+        total += df.count()
+    assert total == n
+    assert seen_files == set(spark.read.parquet(src).inputFiles())
+
+
+def test_fused_pip_matches_standalone_join(spark, tmp_path):
+    """index_and_color(packed=...)'s poly_ids == the standalone
+    point_in_polygon_join's pair set (bbox candidates vs tile-cover
+    candidates, same ray-cast kernel)."""
+    from rio_color_spark.operators.color import index_and_color
+    from rio_color_spark.operators.spatial import with_spatial_index
+    from rio_color_spark.operators.spatial_join import point_in_polygon_join
+
+    images = images_df(spark, 400)
+    packed = pack_polygons(make_polygons(25))
+
+    fused = index_and_color(images, FLAGSHIP_OPS, packed=packed)
+    got = {
+        (r["image_id"], pid)
+        for r in fused.select("image_id", "poly_ids").collect()
+        for pid in r["poly_ids"]
+    }
+    idx = with_spatial_index(images.drop("bytes"), zoom=12, level=12)
+    want = {
+        (r["image_id"], r["poly_id"])
+        for r in point_in_polygon_join(idx, packed, zoom=12)
+        .select("image_id", "poly_id")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -1,0 +1,110 @@
+"""Plan-shape guards for the scale-critical dedup/ANN operators:
+
+- the MinHash-LSH band exchange must carry NO shingle payload (ids only)
+- cosine_neardup_pairs must contain no cartesian/cross join
+- brute_force_topk must refuse an unbounded query side and broadcast the
+  bounded one
+
+Value correctness for these operators is covered by the DuckDB oracles
+(tests/test_oracle_parity.py); these tests pin the PHYSICAL plan
+properties that make them viable at 100 TB.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from rio_color_spark.operators import ann as ANN
+from rio_color_spark.operators import dedup as DD
+
+DIM = 8
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"doc {i} the quick brown fox jumps over lazy dog number {i % 7}")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    import numpy as np
+
+    rng_base = np.arange(40, dtype=np.uint64)
+    from rio_color_spark.sources.images import splitmix64
+
+    rows = []
+    for i in range(40):
+        u = splitmix64(rng_base + np.uint64(i * 1000 + 1))
+        v = ((u >> np.uint64(11)).astype(float) / 2.0**53)[:DIM] * 2 - 1
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_band_exchange_is_narrow(docs):
+    out = DD.minhash_lsh_pairs(docs, jaccard_threshold=0.0)
+    plan = _plan(out)
+    # every hash-partitioning exchange on the band key must not carry
+    # shingles; formatted plans print the partitioning expression inline
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)[^\n]*", plan):
+        line = m.group(0)
+        if "band" in line:
+            assert "sh#" not in line and "shingles" not in line, line
+    # the only shingle-bearing exchanges are the id-keyed fetch joins
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_neardup_has_no_cross_join(embs):
+    out = ANN.cosine_neardup_pairs(embs, threshold=0.2, dim=DIM)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    out.collect()  # executes
+
+
+def test_cosine_neardup_verifies_exact_cosine(embs):
+    """Every emitted pair's cosine is the exact float64 value and passes
+    the threshold; every emitted pair shares an LSH bucket by construction
+    (subset of the exact all-pairs result)."""
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in embs.collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in ANN.cosine_neardup_pairs(embs, threshold=0.2, dim=DIM).collect()
+    }
+    exact = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = float(
+                vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+            )
+            if c >= 0.2:
+                exact[(a, b)] = c
+    assert set(got) <= set(exact)  # LSH recall ⊆ exact
+    assert len(got) > 0
+    for k, v in got.items():
+        assert v == pytest.approx(exact[k], abs=1e-9)
+
+
+def test_brute_force_topk_requires_bounded_queries(embs):
+    with pytest.raises(ValueError, match="bounded query side"):
+        ANN.brute_force_topk(embs, k=3, query_filter=None)
+    out = ANN.brute_force_topk(embs, k=3, query_filter=F.col("id") < 5)
+    assert "BroadcastNestedLoopJoin" in _plan(out)
+    assert out.count() == 5 * 3
+
+
+def test_simhash_neardups_default_radius_is_guaranteed(docs):
+    """Default max_hamming equals the 4-band pigeonhole guarantee (3)."""
+    out = DD.simhash_neardups(docs)
+    assert out.filter(F.col("hamming") > 3).count() == 0
