@@ -168,6 +168,41 @@ def q_colorspace_lch(spark, sf_dir):
     )
 
 
+def q_colorspace_luv(spark, sf_dir):
+    """convert_arr rgb→luv through the real vectorized routing
+    (reference colorspace.pyx:432-453)."""
+    from rio_color_spark.functions.colorspace import ColorSpace, convert_arr
+
+    u = _kernel3(
+        lambda a: convert_arr(a, ColorSpace.rgb, ColorSpace.luv), 6, ("l_", "u_", "v_")
+    )
+    df = _px_cols(_t(spark, sf_dir, "lineitem")).filter(F.col("l_linenumber") == 1)
+    out = u(F.col("px_r"), F.col("px_g"), F.col("px_b"))
+    return df.select(
+        "l_orderkey", out["l_"].alias("l_"), out["u_"].alias("u_"), out["v_"].alias("v_")
+    )
+
+
+def q_luv_roundtrip(spark, sf_dir):
+    """rgb→luv→rgb roundtrip through the real routing — drives _luv_to_xyz
+    incl. its L==0 pin (reference colorspace.pyx:456-480)."""
+    from rio_color_spark.functions.colorspace import ColorSpace, convert_arr
+
+    u = _kernel3(
+        lambda a: convert_arr(
+            convert_arr(a, ColorSpace.rgb, ColorSpace.luv), ColorSpace.luv, ColorSpace.rgb
+        ),
+        6,
+        ("rt_r", "rt_g", "rt_b"),
+    )
+    df = _px_cols(_t(spark, sf_dir, "lineitem")).filter(F.col("l_linenumber") == 1)
+    out = u(F.col("px_r"), F.col("px_g"), F.col("px_b"))
+    return df.select(
+        "l_orderkey", out["rt_r"].alias("rt_r"),
+        out["rt_g"].alias("rt_g"), out["rt_b"].alias("rt_b"),
+    )
+
+
 MAGICK_GOLDEN_IN = (
     "-channel B -sigmoidal-contrast 4 -gamma 0.95 "
     "-channel r -gamma 1.10 "
@@ -219,7 +254,8 @@ def q_pip_join(spark, sf_dir):
 
 
 def q_knn_geo(spark, sf_dir):
-    # rows-only check (ring-membership contract is not SQL-expressible)
+    # oracle: full SQL twin incl. the ring candidates with off-face
+    # re-projection (plans/sql_oracles.knn_geo_query)
     pts = _doc_lonlat(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("image_id"), "lon", "lat"
     )
@@ -336,14 +372,21 @@ def q_rasterize_points(spark, sf_dir):
 
     idx = with_spatial_index(_synth_images(spark, sf_dir).drop("bytes"), zoom=4, level=6)
     out = rasterize_points(idx, resolution=16, salt_n=4)
-    return out.select("tile_xyz", "tile_x", "tile_y", "tile_z", "n_points")
+    return out.select(
+        "tile_xyz", "tile_x", "tile_y", "tile_z", "n_points",
+        F.md5("grid").alias("grid_md5"),
+    )
 
 
 def q_resize_images(spark, sf_dir):
     from rio_color_spark.operators.media import resize_images
 
     out = resize_images(_synth_images(spark, sf_dir), 8, 8)
-    return out.select("image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes"))
+    return out.select(
+        "image_id", "w", "h", "fmt",
+        F.length("bytes").alias("n_bytes"),
+        F.md5("bytes").alias("bytes_md5"),
+    )
 
 
 def q_band_stats(spark, sf_dir):
@@ -354,6 +397,92 @@ def q_band_stats(spark, sf_dir):
         "image_id", "band",
         F.round(F.col("mean"), 6).alias("mean"),
         F.round(F.col("std"), 6).alias("std"),
+    )
+
+
+def _golden_media_values() -> tuple[str, str]:
+    """Pinned-golden VALUES tables for band_stats and resize_images.
+
+    Computed here with an INDEPENDENT NumPy path (plain frombuffer /
+    fancy-index math — no operators/media import), over the deterministic
+    synthetic table definition (sources/images.generate_pandas). Full-
+    precision float reprs are emitted; DuckDB applies the same round(…, 6)
+    the Spark query applies, so both engines round the identical float64.
+    """
+    import hashlib
+
+    from rio_color_spark.sources import codec
+    from rio_color_spark.sources.images import generate_pandas
+
+    pdf = generate_pandas(np.arange(400))
+    stats_rows = []
+    resize_rows = []
+    for r in pdf.itertuples(index=False):
+        info = codec.format_info(r.fmt)
+        arr = np.frombuffer(r.bytes, dtype=info.dtype).reshape(
+            info.bands, r.h, r.w
+        )
+        scaled = arr.astype(np.float64) / np.iinfo(info.dtype).max
+        flat = scaled.reshape(info.bands, -1)
+        for b in range(info.bands):
+            stats_rows.append(
+                f"('{r.image_id}', {b}, {float(flat[b].mean())!r}, {float(flat[b].std())!r})"
+            )
+        ri = np.minimum(((np.arange(8) + 0.5) * r.h / 8).astype(np.int64), r.h - 1)
+        ci = np.minimum(((np.arange(8) + 0.5) * r.w / 8).astype(np.int64), r.w - 1)
+        resized = np.ascontiguousarray(arr[:, ri[:, None], ci[None, :]])
+        payload = resized.tobytes()
+        md5 = hashlib.md5(payload).hexdigest()
+        resize_rows.append(
+            f"('{r.image_id}', 8, 8, '{r.fmt}', {len(payload)}, '{md5}')"
+        )
+    stats = (
+        "SELECT image_id, band, round(mean_raw, 6) AS mean, round(std_raw, 6) AS std "
+        "FROM (VALUES " + ", ".join(stats_rows)
+        + ") AS g(image_id, band, mean_raw, std_raw)"
+    )
+    resize = (
+        "SELECT * FROM (VALUES " + ", ".join(resize_rows)
+        + ") AS g(image_id, w, h, fmt, n_bytes, bytes_md5)"
+    )
+    return stats, resize
+
+
+def _golden_rasterize_values() -> str:
+    """Pinned golden for rasterize_points: the per-tile density grids of the
+    400 synthetic points, computed GLOBALLY (no salting, no Spark) — so the
+    driver gate proves the salted two-level aggregation merges to the same
+    grids a single-pass computation produces."""
+    import hashlib
+
+    import numpy as np
+
+    from rio_color_spark.functions import tiles as tilemod
+    from rio_color_spark.sources.images import lonlat_from_phash, phash_for
+
+    zoom, res = 4, 16
+    lon, lat = lonlat_from_phash(phash_for(np.arange(400)))
+    tx, ty = tilemod.tile_xy(lon, lat, zoom)
+    txyz = tilemod.pack_tile(tx, ty, zoom)
+    n = 1 << zoom
+    rows = []
+    for t in np.unique(txyz):
+        sel = txyz == t
+        x, y = int(tx[sel][0]), int(ty[sel][0])
+        fx = (lon[sel] + 180.0) / 360.0 * n - x
+        lat_rad = np.radians(np.clip(lat[sel], -tilemod.MAX_LAT, tilemod.MAX_LAT))
+        fy = (1.0 - np.arcsinh(np.tan(lat_rad)) / np.pi) / 2.0 * n - y
+        col = np.clip((fx * res).astype(np.int64), 0, res - 1)
+        row = np.clip((fy * res).astype(np.int64), 0, res - 1)
+        grid = np.zeros(res * res, dtype=np.int64)
+        np.add.at(grid, row * res + col, 1)
+        md5 = hashlib.md5(grid.tobytes()).hexdigest()
+        rows.append(
+            f"({int(t)}, {x}, {y}, {zoom}, {int(sel.sum())}, '{md5}')"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS g(tile_xyz, tile_x, tile_y, tile_z, n_points, grid_md5)"
     )
 
 
@@ -416,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_chain": q_dsl_chain,
         "scale_dtype": q_scale_dtype,
         "colorspace_lch": q_colorspace_lch,
+        "colorspace_luv": q_colorspace_luv,
+        "luv_roundtrip": q_luv_roundtrip,
         "magick_to_rio": q_magick_to_rio,
         "atmo_opstring": q_atmo_opstring,
         "tile_encode": q_tile_encode,
@@ -444,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     S = SQL
+    _media_goldens = _golden_media_values()
     px = f"SELECT l_orderkey, l_linenumber, {S.PX_R} AS px_r, {S.PX_G} AS px_g, {S.PX_B} AS px_b FROM lineitem"
     doc_pts = f"SELECT doc_id, {S.DOC_LON} AS lon, {S.DOC_LAT} AS lat FROM documents"
 
@@ -499,12 +631,28 @@ def oracle_sql() -> dict[str, str]:
             + S.rgb_to_lch_sql("px_r", "px_g", "px_b")
             + "SELECT l_orderkey, round(l_, 6) AS l_, round(c_, 6) AS c_, round(h_, 6) AS h_ FROM _lchout"
         ),
+        "colorspace_luv": (
+            f"WITH _pix AS (SELECT * FROM ({px}) WHERE l_linenumber = 1),\n"
+            + S.rgb_to_luv_sql("px_r", "px_g", "px_b")
+            + "SELECT l_orderkey, round(l_, 6) AS l_, round(u_, 6) AS u_, round(v_, 6) AS v_ FROM _luvout"
+        ),
+        "luv_roundtrip": (
+            f"WITH _pix AS (SELECT * FROM ({px}) WHERE l_linenumber = 1),\n"
+            + S.luv_roundtrip_sql("px_r", "px_g", "px_b")
+            + "SELECT l_orderkey, round(rt_r, 6) AS rt_r, round(rt_g, 6) AS rt_g, round(rt_b, 6) AS rt_b FROM _out"
+        ),
         "magick_to_rio": f"SELECT '{MAGICK_GOLDEN_OUT}' AS rio_ops",
         "atmo_opstring": (
             "SELECT 'gamma g 0.99, gamma b 0.97, sigmoidal rgb 10 0.15' AS atmo_ops"
         ),
         "tile_encode": f"WITH _d AS ({doc_pts}) SELECT doc_id, {tx} AS tile_x, {ty} AS tile_y FROM _d",
         "cell_encode": S.cell_encode_query(doc_pts, "doc_id", 8),
+        "knn_geo": S.knn_geo_query(
+            f"SELECT doc_id::VARCHAR AS doc_id, {S.DOC_LON} AS lon, {S.DOC_LAT} AS lat FROM documents",
+            "doc_id",
+            level=3,
+            k=3,
+        ),
         "pip_join": (
             f"WITH _d AS ({doc_pts}) "
             f"SELECT d.doc_id, edges.poly_id FROM _d d, {edges} "
@@ -609,6 +757,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM _cand JOIN _e ea ON ea.vec_id = id_a JOIN _e eb ON eb.vec_id = id_b "
             f"WHERE {S.cosine_sql('ea.v', 'eb.v', EMB_DIM)} >= 0.35"
         ),
+        "band_stats": _media_goldens[0],
+        "resize_images": _media_goldens[1],
+        "rasterize_points": _golden_rasterize_values(),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
             "round(sum(l_extendedprice), 2) AS sum_base_price, "

@@ -147,6 +147,83 @@ def rgb_to_lch_sql(r: str, g: str, b: str) -> str:
     )
 
 
+# LUV constants — same values as functions/colorspace.py
+_KAPPA = (29.0 / 3) ** 3
+_DENOM_N = _XN + 15.0 + 3 * _ZN
+_UPRIME_N = (4 * _XN) / _DENOM_N
+_VPRIME_N = 9.0 / _DENOM_N
+
+
+def _xyz_cte_sql(r: str, g: str, b: str) -> str:
+    """_pix channels → _xyz CTE (companding + matrix + xn/zn normalization)."""
+    rl, gl, bl = _compand_sql(r), _compand_sql(g), _compand_sql(b)
+    x = f"(({rl} * 0.4124564 + {gl} * 0.3575761 + {bl} * 0.1804375) / {_XN!r})"
+    y = f"({rl} * 0.2126729 + {gl} * 0.7151522 + {bl} * 0.0721750)"
+    z = f"(({rl} * 0.0193339 + {gl} * 0.1191920 + {bl} * 0.9503041) / {_ZN!r})"
+    return f"_xyz AS (SELECT *, {x} AS cx, {y} AS cy, {z} AS cz FROM _pix),\n"
+
+
+def _luv_from_xyz_sql(x: str, y: str, z: str) -> tuple[str, str, str]:
+    """(L, u, v) expressions from xyz columns — twin of _xyz_to_luv.
+
+    The engine's yr = y / YN with YN == 1.0 is an exact float no-op, so the
+    SQL uses ``y`` directly.
+    """
+    L = (
+        f"(CASE WHEN {y} <= {_T0!r} THEN {_KAPPA!r} * {y} "
+        f"ELSE 116.0 * pow({y}, {1.0 / 3!r}) - 16.0 END)"
+    )
+    denom = f"({x} + 15.0 * {y} + 3.0 * {z})"
+    u = f"(13.0 * lw * ((4.0 * {x}) / {denom} - {_UPRIME_N!r}))"
+    v = f"(13.0 * lw * ((9.0 * {y}) / {denom} - {_VPRIME_N!r}))"
+    return L, u, v
+
+
+def rgb_to_luv_sql(r: str, g: str, b: str) -> str:
+    """CTE-list fragment: ``_pix`` channels → ``_luvout`` with l_, u_, v_
+    (the SQL twin of colorspace.convert_arr rgb→luv routing,
+    reference colorspace.pyx:432-453 semantics)."""
+    L, u, v = _luv_from_xyz_sql("cx", "cy", "cz")
+    return (
+        _xyz_cte_sql(r, g, b)
+        + f"_lw AS (SELECT *, {L} AS lw FROM _xyz),\n"
+        f"_luvout AS (SELECT *, lw AS l_, {u} AS u_, {v} AS v_ FROM _lw)\n"
+    )
+
+
+def luv_roundtrip_sql(r: str, g: str, b: str) -> str:
+    """CTE-list fragment: ``_pix`` → rgb→luv→rgb → ``_out`` (rt_r, rt_g, rt_b).
+
+    Twin of convert_arr(convert_arr(a, rgb, luv), luv, rgb): the forward
+    hop from :func:`rgb_to_luv_sql`, then _luv_to_xyz (with the L == 0 →
+    (0,0,0) pin, reference colorspace.pyx:460-464) and _xyz_to_rgb
+    (xn/zn re-multiplication + inverse companding + [0,1] clamp).
+    """
+    up2 = f"(u_ / (13.0 * l_) + {_UPRIME_N!r})"
+    vp2 = f"(v_ / (13.0 * l_) + {_VPRIME_N!r})"
+    y2 = (
+        f"(CASE WHEN l_ <= 8.0 THEN l_ / {_KAPPA!r} "
+        f"ELSE pow((l_ + 16.0) / 116.0, 3.0) END)"
+    )
+    return (
+        rgb_to_luv_sql(r, g, b)
+        + f",_up AS (SELECT *, {up2} AS up2, {vp2} AS vp2, {y2} AS y2r FROM _luvout),\n"
+        "_xyz2 AS (SELECT *,\n"
+        "  CASE WHEN l_ = 0.0 THEN 0.0 ELSE y2r * ((9.0 * up2) / (4.0 * vp2)) END AS x2,\n"
+        "  CASE WHEN l_ = 0.0 THEN 0.0 ELSE y2r END AS y2,\n"
+        "  CASE WHEN l_ = 0.0 THEN 0.0 ELSE y2r * ((12.0 - 3.0 * up2 - 20.0 * vp2) / (4.0 * vp2)) END AS z2\n"
+        "  FROM _up),\n"
+        f"_rgb2 AS (SELECT *,\n"
+        f"  (x2 * {_XN!r}) * 3.2404542 + y2 * -1.5371385 + (z2 * {_ZN!r}) * -0.4985314 AS rlin,\n"
+        f"  (x2 * {_XN!r}) * -0.9692660 + y2 * 1.8760108 + (z2 * {_ZN!r}) * 0.0415560 AS glin,\n"
+        f"  (x2 * {_XN!r}) * 0.0556434 + y2 * -0.2040259 + (z2 * {_ZN!r}) * 1.0572252 AS blin FROM _xyz2),\n"
+        f"_out AS (SELECT *,\n"
+        f"  least(greatest({_inv_compand_sql('rlin')}, 0.0), 1.0) AS rt_r,\n"
+        f"  least(greatest({_inv_compand_sql('glin')}, 0.0), 1.0) AS rt_g,\n"
+        f"  least(greatest({_inv_compand_sql('blin')}, 0.0), 1.0) AS rt_b FROM _rgb2)\n"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text-hash expression builders (SQL mirrors of functions/texthash.py)
 # ---------------------------------------------------------------------------
@@ -259,20 +336,20 @@ def tile_xy_sql(lon: str, lat: str, zoom: int) -> tuple[str, str]:
     return x, y
 
 
-def cell_encode_query(points_sql: str, id_col: str, level: int) -> str:
-    """Full CTE query: (id_col, cell_id) — the SQL twin of cells.encode_cell.
-
-    ``points_sql`` must select ``{id_col}, lon, lat``. Staged CTEs keep each
-    subexpression evaluated once (no combinatorial string blowup).
-    """
-    n = 1 << level
-    mort = " + ".join(
-        f"(((ci >> {b}) & 1) << {2 * b}) + (((cj >> {b}) & 1) << {2 * b + 1})"
+def _morton_sql(i: str, j: str, level: int) -> str:
+    return " + ".join(
+        f"((({i} >> {b}) & 1) << {2 * b}) + ((({j} >> {b}) & 1) << {2 * b + 1})"
         for b in range(level)
     )
+
+
+def _cell_chain_sql(select_cols: str, level: int) -> str:
+    """CTE fragment: assumes ``_d`` with (\u2026, lon, lat); defines ``_cell``
+    with ``{select_cols}, face, ci, cj, cell_id`` \u2014 the staged SQL twin of
+    cells.encode_cell (keeps face/i/j exposed for the ring oracle)."""
+    n = 1 << level
     return (
-        f"WITH _d AS ({points_sql}),\n"
-        f"_v AS (SELECT {id_col}, cos(radians(lat)) * cos(radians(lon)) AS vx,\n"
+        f"_v AS (SELECT {select_cols}, cos(radians(lat)) * cos(radians(lon)) AS vx,\n"
         f"  cos(radians(lat)) * sin(radians(lon)) AS vy, sin(radians(lat)) AS vz FROM _d),\n"
         f"_f AS (SELECT *, CASE WHEN abs(vx) >= abs(vy) AND abs(vx) >= abs(vz)\n"
         f"  THEN (CASE WHEN vx >= 0 THEN 0 ELSE 3 END)\n"
@@ -285,8 +362,102 @@ def cell_encode_query(points_sql: str, id_col: str, level: int) -> str:
         f"    WHEN 3 THEN vy / -vx WHEN 4 THEN vz / -vy ELSE vx / -vz END AS cv FROM _f),\n"
         f"_ij AS (SELECT *,\n"
         f"  least({n - 1}, greatest(0, floor((cu + 1.0) / 2.0 * {float(n)!r})))::BIGINT AS ci,\n"
-        f"  least({n - 1}, greatest(0, floor((cv + 1.0) / 2.0 * {float(n)!r})))::BIGINT AS cj FROM _uv)\n"
-        f"SELECT {id_col}, ((face::BIGINT << {2 * level}) + ({mort}))::BIGINT AS cell_id FROM _ij"
+        f"  least({n - 1}, greatest(0, floor((cv + 1.0) / 2.0 * {float(n)!r})))::BIGINT AS cj FROM _uv),\n"
+        f"_cell AS (SELECT *, ((face::BIGINT << {2 * level}) + ({_morton_sql('ci', 'cj', level)}))::BIGINT AS cell_id FROM _ij)\n"
+    )
+
+
+def cell_encode_query(points_sql: str, id_col: str, level: int) -> str:
+    """Full CTE query: (id_col, cell_id) \u2014 the SQL twin of cells.encode_cell.
+
+    ``points_sql`` must select ``{id_col}, lon, lat``. Staged CTEs keep each
+    subexpression evaluated once (no combinatorial string blowup).
+    """
+    return (
+        f"WITH _d AS ({points_sql}),\n"
+        + _cell_chain_sql(id_col, level)
+        + f"SELECT {id_col}, cell_id FROM _cell"
+    )
+
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """SQL twin of operators/knn.haversine_km (same expression order)."""
+    dlat = f"radians({lat2} - {lat1})"
+    dlon = f"radians({lon2} - {lon1})"
+    a = (
+        f"pow(sin({dlat} / 2), 2) + cos(radians({lat1})) * cos(radians({lat2})) "
+        f"* pow(sin({dlon} / 2), 2)"
+    )
+    return f"({2.0 * EARTH_RADIUS_KM!r} * asin(sqrt({a})))"
+
+
+def knn_geo_query(points_sql: str, id_col: str, level: int, k: int) -> str:
+    """Full CTE query \u2014 the SQL twin of operators/knn.knn_join over points
+    carrying STRING ids: (doc_id, neighbor_id, dist_km rounded 6, rank).
+
+    Mirrors the engine exactly: cell encode at ``level``; candidate cells =
+    own cell + the 8-ring where off-face steps re-project the stepped
+    (u, v) cell center through the unit sphere onto the adjacent face
+    (functions/cells.neighbor_ring); candidate pairs dedupe (cube corners
+    repeat cells); haversine; row_number ordered by (dist, neighbor_id) \u2014
+    neighbor_id is a STRING, so ties order lexicographically, same as the
+    Spark window.
+    """
+    n = 1 << level
+    offsets = ", ".join(
+        f"({di}, {dj})" for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)
+    )
+    uo = f"((ni + 0.5) / {float(n)!r} * 2.0 - 1.0)"
+    vo = f"((nj + 0.5) / {float(n)!r} * 2.0 - 1.0)"
+    return (
+        f"WITH _d AS ({points_sql}),\n"
+        + _cell_chain_sql(f"{id_col}, lon, lat", level)
+        + f", _off AS (SELECT * FROM (VALUES {offsets}) AS o(di, dj)),\n"
+        f"_step AS (SELECT {id_col}, lon, lat, face, ci + di AS ni, cj + dj AS nj,\n"
+        f"  (ci + di BETWEEN 0 AND {n - 1}) AND (cj + dj BETWEEN 0 AND {n - 1}) AS inside\n"
+        f"  FROM _cell CROSS JOIN _off),\n"
+        f"_proj AS (SELECT *, {uo} AS uo, {vo} AS vo FROM _step WHERE NOT inside),\n"
+        f"_pxyz AS (SELECT *,\n"
+        f"  CASE face WHEN 0 THEN 1.0 WHEN 1 THEN vo WHEN 2 THEN uo WHEN 3 THEN -1.0 WHEN 4 THEN uo ELSE vo END AS px,\n"
+        f"  CASE face WHEN 0 THEN uo WHEN 1 THEN 1.0 WHEN 2 THEN vo WHEN 3 THEN vo WHEN 4 THEN -1.0 ELSE uo END AS py,\n"
+        f"  CASE face WHEN 0 THEN vo WHEN 1 THEN uo WHEN 2 THEN 1.0 WHEN 3 THEN uo WHEN 4 THEN vo ELSE -1.0 END AS pz\n"
+        f"  FROM _proj),\n"
+        f"_pn AS (SELECT *, px / sqrt(px * px + py * py + pz * pz) AS qx,\n"
+        f"  py / sqrt(px * px + py * py + pz * pz) AS qy,\n"
+        f"  pz / sqrt(px * px + py * py + pz * pz) AS qz FROM _pxyz),\n"
+        f"_pf AS (SELECT *, CASE WHEN abs(qx) >= abs(qy) AND abs(qx) >= abs(qz)\n"
+        f"  THEN (CASE WHEN qx >= 0 THEN 0 ELSE 3 END)\n"
+        f"  WHEN abs(qy) >= abs(qz) THEN (CASE WHEN qy >= 0 THEN 1 ELSE 4 END)\n"
+        f"  ELSE (CASE WHEN qz >= 0 THEN 2 ELSE 5 END) END AS face2 FROM _pn),\n"
+        f"_puv AS (SELECT *,\n"
+        f"  CASE face2 WHEN 0 THEN qy / qx WHEN 1 THEN qz / qy WHEN 2 THEN qx / qz\n"
+        f"    WHEN 3 THEN qz / -qx WHEN 4 THEN qx / -qy ELSE qy / -qz END AS u2,\n"
+        f"  CASE face2 WHEN 0 THEN qz / qx WHEN 1 THEN qx / qy WHEN 2 THEN qy / qz\n"
+        f"    WHEN 3 THEN qy / -qx WHEN 4 THEN qz / -qy ELSE qx / -qz END AS v2 FROM _pf),\n"
+        f"_pij AS (SELECT *,\n"
+        f"  least({n - 1}, greatest(0, floor((u2 + 1.0) / 2.0 * {float(n)!r})))::BIGINT AS i2,\n"
+        f"  least({n - 1}, greatest(0, floor((v2 + 1.0) / 2.0 * {float(n)!r})))::BIGINT AS j2 FROM _puv),\n"
+        f"_cand AS (\n"
+        f"  SELECT {id_col}, lon, lat, cell_id AS cand_cell FROM _cell\n"
+        f"  UNION ALL\n"
+        f"  SELECT {id_col}, lon, lat,\n"
+        f"    ((face::BIGINT << {2 * level}) + ({_morton_sql('ni', 'nj', level)}))::BIGINT AS cand_cell\n"
+        f"  FROM _step WHERE inside\n"
+        f"  UNION ALL\n"
+        f"  SELECT {id_col}, lon, lat,\n"
+        f"    ((face2::BIGINT << {2 * level}) + ({_morton_sql('i2', 'j2', level)}))::BIGINT AS cand_cell\n"
+        f"  FROM _pij),\n"
+        f"_pairs AS (SELECT DISTINCT a.{id_col} AS qid, a.lon AS qlon, a.lat AS qlat,\n"
+        f"    b.{id_col} AS neighbor_id, b.lon AS nlon, b.lat AS nlat\n"
+        f"  FROM _cand a JOIN _cell b ON b.cell_id = a.cand_cell AND b.{id_col} != a.{id_col}),\n"
+        f"_dist AS (SELECT qid, neighbor_id,\n"
+        f"  {haversine_sql('qlon', 'qlat', 'nlon', 'nlat')} AS dist_km FROM _pairs),\n"
+        f"_rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist_km, neighbor_id) AS rank FROM _dist)\n"
+        f"SELECT qid AS doc_id, neighbor_id, round(dist_km, 6) AS dist_km, rank::INT AS rank\n"
+        f"FROM _rk WHERE rank <= {k}"
     )
 
 
