@@ -470,8 +470,7 @@ def _golden_rasterize_values() -> str:
         sel = txyz == t
         x, y = int(tx[sel][0]), int(ty[sel][0])
         fx = (lon[sel] + 180.0) / 360.0 * n - x
-        lat_rad = np.radians(np.clip(lat[sel], -tilemod.MAX_LAT, tilemod.MAX_LAT))
-        fy = (1.0 - np.arcsinh(np.tan(lat_rad)) / np.pi) / 2.0 * n - y
+        fy = tilemod.mercator_y_frac(lat[sel]) * n - y
         col = np.clip((fx * res).astype(np.int64), 0, res - 1)
         row = np.clip((fy * res).astype(np.int64), 0, res - 1)
         grid = np.zeros(res * res, dtype=np.int64)
@@ -711,7 +710,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": (
             f"WITH _q AS (SELECT doc_id, len({S.TOKENS_SQL}) AS n_tok, length(text) AS n_chars, "
             r"length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct, "
-            r"length(regexp_replace(text, '\s+', '', 'g')) AS chars_ns FROM documents) "
+            r"length(regexp_replace(text, '[ \t\n\r\f\x0b]+', '', 'g')) AS chars_ns FROM documents) "
             "SELECT doc_id, least(n_tok / 64.0, 1.0) AS len_score, "
             "CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars::DOUBLE ELSE 0.0 END AS punct_ratio, "
             "CASE WHEN n_tok > 0 THEN chars_ns::DOUBLE / n_tok::DOUBLE ELSE 0.0 END AS mean_tok_len, "
@@ -722,10 +721,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_count": (
             f"SELECT doc_id, len({S.TOKENS_SQL}) AS n_tokens, "
-            r"ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0)::BIGINT AS bpe_est FROM documents"
+            r"ceil(length(regexp_replace(text, '[ \t\n\r\f\x0b]+', '', 'g')) / 4.0)::BIGINT AS bpe_est FROM documents"
         ),
         "fingerprint": (
-            r"SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint FROM documents"
+            r"SELECT doc_id, md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f\x0b]+', ' ', 'g')) AS fingerprint FROM documents"
         ),
         "ann_topk": (
             f"WITH _e AS ({emb}), _p AS ("

@@ -1,0 +1,164 @@
+"""``rio-color-spark`` CLI — the engine's analogue of the reference's
+``rio color`` / ``rio atmos`` commands (reference rio_color/scripts/cli.py:33-219),
+re-targeted from GeoTIFF windows to parquet/Iceberg image tables.
+
+Mirrored behaviors (pinned by tests/test_cli.py in both repos):
+
+- ``color SRC DST OPERATIONS...``: DSL validated EARLY on the driver (bad
+  or empty ops → usage error, exit code 2, nothing written — reference
+  cli.py:92-98), then applied by the fused executor chain.
+- ``atmos -a -c -b SRC DST``: composes the same opstring as the reference
+  (operations.py:144-151); ``--as-color`` echoes the equivalent ``color``
+  command and runs nothing (reference cli.py:180-186, golden at reference
+  tests/test_cli.py:233-241).
+- ``-j/--jobs``: reference check_jobs semantics (cli.py:22-30) — 0 is a
+  usage error, negative means all cores; here jobs become the local-mode
+  core count (``local[j]``) or, under spark-submit with a real master,
+  are ignored in favor of the cluster (pass -1).
+- ``--out-dtype uint8|uint16``: rescale payload dtype (cli.py:36-39).
+- ``--co NAME=VALUE``: creation options, forwarded to the parquet writer
+  (the facade analogue of GDAL creation options, cli.py:85).
+
+Run via ``python -m rio_color_spark.cli ...`` or ship the package with
+``spark-submit --py-files rio_color_spark.zip -m``-style entry scripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def check_jobs(jobs: int, parser: argparse.ArgumentParser) -> int:
+    """Reference check_jobs (cli.py:22-30): 0 → usage error; <0 → all cores."""
+    if jobs == 0:
+        parser.error("Jobs must be >= 1 or == -1")
+    if jobs < 0:
+        import multiprocessing
+
+        return multiprocessing.cpu_count()
+    return jobs
+
+
+def _co_pairs(values: list[str], parser: argparse.ArgumentParser) -> dict[str, str]:
+    out = {}
+    for v in values:
+        if "=" not in v:
+            parser.error(f"--co expects NAME=VALUE, got {v!r}")
+        k, _, val = v.partition("=")
+        out[k] = val
+    return out
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rio-color-spark",
+        description="Color correction over parquet image tables, Spark-native.",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    common = dict(
+        jobs=lambda sp: sp.add_argument(
+            "-j",
+            "--jobs",
+            type=int,
+            default=1,
+            help="Local cores to run on; -1 for all cores; ignored when "
+            "spark-submit supplies a master. Default: 1",
+        ),
+        dtype=lambda sp: sp.add_argument(
+            "-d",
+            "--out-dtype",
+            choices=["uint8", "uint16"],
+            help="Integer data type for output pixels, default: same as input",
+        ),
+        co=lambda sp: sp.add_argument(
+            "--co",
+            action="append",
+            default=[],
+            metavar="NAME=VALUE",
+            help="Writer creation option (repeatable), e.g. --co compression=zstd",
+        ),
+    )
+
+    c = sub.add_parser("color", help="Apply a DSL operation chain")
+    common["jobs"](c)
+    common["dtype"](c)
+    common["co"](c)
+    c.add_argument("src_path")
+    c.add_argument("dst_path")
+    c.add_argument("operations", nargs="+", help='e.g. "gamma b 1.85" "sigmoidal rgb 35 0.13"')
+
+    a = sub.add_parser("atmos", help="Atmospheric correction")
+    a.add_argument("-a", "--atmo", type=float, default=0.03)
+    # default kept float so the --as-color echo matches the reference
+    # golden exactly ("sigmoidal rgb 10.0 0.15", tests/test_cli.py:233-241)
+    a.add_argument("-c", "--contrast", type=float, default=10.0)
+    a.add_argument("-b", "--bias", type=float, default=0.15)
+    common["dtype"](a)
+    common["co"](a)
+    a.add_argument(
+        "--as-color",
+        action="store_true",
+        help="Print the equivalent color command and exit without running",
+    )
+    a.add_argument("src_path")
+    a.add_argument("dst_path")
+    common["jobs"](a)
+    return p
+
+
+def _run(src: str, dst: str, ops: str, out_dtype, jobs: int, co: dict) -> None:
+    from pyspark.sql import SparkSession
+
+    from rio_color_spark.operators.color import color_correct
+    from rio_color_spark.session import get_spark
+
+    # under spark-submit (or tests) a session may already exist — reuse it
+    # and leave its lifecycle to its owner; stop only what we created
+    owned = SparkSession.getActiveSession() is None
+    spark = get_spark("rio-color-spark-cli", master=f"local[{jobs}]")
+    try:
+        df = spark.read.parquet(src)
+        out = color_correct(df, ops, out_dtype=out_dtype)
+        out.write.mode("overwrite").options(**co).parquet(dst)
+    finally:
+        if owned:
+            spark.stop()
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+
+    if args.command == "color":
+        ops = " ".join(args.operations)
+        # validate-early (reference cli.py:92-98): a bad chain must fail
+        # with a usage error before any Spark job launches
+        from rio_color_spark.plans.dsl import parse_ops_spec
+
+        try:
+            parse_ops_spec(ops)
+        except ValueError as e:
+            parser.error(str(e))
+        jobs = check_jobs(args.jobs, parser)
+        _run(args.src_path, args.dst_path, ops, args.out_dtype, jobs,
+             _co_pairs(args.co, parser))
+        return 0
+
+    # atmos
+    from rio_color_spark.functions.operations import simple_atmo_opstring
+
+    ops = simple_atmo_opstring(args.atmo, args.contrast, args.bias)
+    if args.as_color:
+        # exact echo shape pinned by reference tests/test_cli.py:233-241
+        print(f"rio color {args.src_path} {args.dst_path} {ops}")
+        return 0
+    jobs = check_jobs(args.jobs, parser)
+    _run(args.src_path, args.dst_path, ops, args.out_dtype, jobs,
+         _co_pairs(args.co, parser))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

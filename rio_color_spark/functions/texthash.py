@@ -37,6 +37,13 @@ MINHASH_B = [
 
 SIMHASH_BITS = 32
 
+#: engine-uniform ASCII whitespace class. Java \\s, Python re \\s and
+#: RE2 \\s disagree on non-ASCII whitespace (e.g. U+00A0), so every
+#: tokenizer — Spark Column, Arrow UDF, DuckDB oracle — pins this
+#: explicit class; cross-engine hash parity must not depend on fixture
+#: content staying ASCII.
+WS_REGEX = r"[ \t\n\r\f\x0b]+"
+
 #: tiny deterministic stopword lists for the language-id heuristic
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
@@ -49,7 +56,7 @@ LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break order
 
 def tokens_col(text: Column) -> Column:
     """Whitespace tokenization of lowercased, trimmed text."""
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    return F.split(F.trim(F.lower(text)), WS_REGEX)
 
 
 def token_hash_col(tok: Column) -> Column:

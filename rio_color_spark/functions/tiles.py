@@ -14,13 +14,20 @@ Standard slippy-map formulas:
 Latitudes are clamped to ±85.0511287798066 (the Web-Mercator limit) and
 x/y to [0, n-1], so every point maps to a valid tile.
 
-Two implementations with identical outputs:
+Two implementations sharing ONE asinh formulation — ``ln(t + sqrt(t²+1))``
+— so the NumPy path, the JVM Column path, and the DuckDB oracle evaluate
+the same expression tree (``np.arcsinh`` and the ln form differ by ULPs,
+which can flip ``floor()`` at exact tile-boundary latitudes):
 
 - ``tile_xy`` — vectorized NumPy (used in kernels/oracles)
 - ``tile_cols`` — native Spark Column expressions: tile assignment runs
   JVM-side inside whole-stage codegen, with NO Python crossing. This is the
   preferred path in the pipeline; the NumPy twin exists for oracle tests
   and in-UDF use.
+
+Outputs agree except where the engines' libm ``log``/``sqrt`` differ in the
+last ULP at an exact tile boundary (no such latitude exists in the
+synthetic fixtures; the set-equality tests would catch one).
 """
 
 from __future__ import annotations
@@ -38,16 +45,24 @@ def clip_lat(lat):
     return np.clip(lat, -MAX_LAT, MAX_LAT)
 
 
+def asinh_ln(t: np.ndarray) -> np.ndarray:
+    """asinh as ``ln(t + sqrt(t² + 1))`` — the engine's ONE formulation,
+    shared verbatim with tile_cols (JVM) and tile_xy_sql (DuckDB)."""
+    return np.log(t + np.sqrt(t * t + 1.0))
+
+
+def mercator_y_frac(lat) -> np.ndarray:
+    """Clipped latitude (degrees) → Web-Mercator y fraction in [0, 1]."""
+    t = np.tan(np.radians(clip_lat(np.asarray(lat, dtype=np.float64))))
+    return (1.0 - asinh_ln(t) / math.pi) / 2.0
+
+
 def tile_xy(lon, lat, zoom: int) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized lon/lat → (tile_x, tile_y) at ``zoom``."""
     n = 1 << zoom
     lon = np.asarray(lon, dtype=np.float64)
-    lat = clip_lat(np.asarray(lat, dtype=np.float64))
     x = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
-    lat_rad = np.radians(lat)
-    y = np.floor((1.0 - np.arcsinh(np.tan(lat_rad)) / math.pi) / 2.0 * n).astype(
-        np.int64
-    )
+    y = np.floor(mercator_y_frac(lat) * n).astype(np.int64)
     return np.clip(x, 0, n - 1), np.clip(y, 0, n - 1)
 
 

@@ -27,7 +27,7 @@ from pyspark.sql.functions import pandas_udf
 
 from rio_color_spark.functions import texthash as TH
 
-_WS = re.compile(r"\s+")
+_WS = re.compile(TH.WS_REGEX)
 
 
 def _sig_from_shingles(sh: list[str]) -> list[int]:

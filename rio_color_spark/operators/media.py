@@ -7,14 +7,20 @@ Real (self-contained, no external codecs needed for the npy* formats):
   extraction (the "embed an image" plumbing: binary → ndarray → features)
 - :func:`resize_images` — nearest-neighbor resize entirely in NumPy
   index arithmetic; rewrites bytes/w/h
+- :func:`sample_frames` — frame sampling over multi-frame ``npyseq8``
+  clips (frames ``0, k, 2k, …``); single-image npy* rows pass through as
+  1-frame clips
 
-Stubbed (the container has no image/audio/video libraries — BASELINE.json
-environment; the Spark-side plumbing — schema, batching, UDF signatures —
-is identical and tested):
+Both batch operators use the same within-batch shape grouping as
+operators/color.py: rows sharing (h, w, fmt) stack into ONE (B, C, h, w)
+array so every NumPy reduction/gather launches once per group per batch,
+not once per row (a row-at-a-time loop leaves 10-100x on the table at
+Arrow batch sizes).
 
-- :func:`sample_frames` — video frame sampling; raises NotImplementedError
-  for real video formats, and for ``npy*`` treats the single image as a
-  1-frame clip (deterministic fake) so the pipeline shape is exercised.
+Stubbed: real video codecs (mp4/webm/mkv) are absent from this container
+(BASELINE.json environment); those formats fail fast inside the task with
+NotImplementedError, documenting the decoder seam without pretending to
+decode.
 """
 
 from __future__ import annotations
@@ -33,33 +39,58 @@ STATS_SCHEMA = (
 )
 
 
+def _group_stack(pdf: pd.DataFrame):
+    """Yield (row_positions, stacked (B, C, h, w) array, h, w, fmt) per
+    (h, w, fmt) group of an Arrow batch — one frombuffer per group."""
+    hs = pdf["h"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+    bufs = pdf["bytes"].to_numpy()
+    order = np.arange(len(pdf))
+    for key in sorted(set(zip(hs.tolist(), ws.tolist(), fmts.tolist()))):
+        h, w, fmt = key
+        sel = order[(hs == h) & (ws == w) & (fmts == fmt)]
+        info = codec.format_info(fmt)
+        flat = np.frombuffer(b"".join(bufs[i] for i in sel), dtype=info.dtype)
+        yield sel, flat.reshape(len(sel), info.bands, h, w), h, w, fmt
+
+
 def with_band_stats(df: DataFrame) -> DataFrame:
     """Per-band pixel statistics in the [0,1] math domain (long format)."""
-    from rio_color_spark.functions.utils import to_math_type
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                arr = to_math_type(
-                    codec.decode(r["bytes"], r["w"], r["h"], r["fmt"])
-                )
-                flat = arr.reshape(arr.shape[0], -1)
-                for b in range(arr.shape[0]):
-                    rows.append(
-                        (
-                            r["image_id"],
-                            r["fmt"],
-                            b,
-                            float(flat[b].mean()),
-                            float(flat[b].std()),
-                            float(flat[b].min()),
-                            float(flat[b].max()),
-                        )
+            ids = pdf["image_id"].to_numpy()
+            parts = []
+            for sel, arr, h, w, fmt in _group_stack(pdf):
+                info = codec.format_info(fmt)
+                scaled = arr.astype(np.float64) / np.iinfo(info.dtype).max
+                flat = scaled.reshape(len(sel), info.bands, h * w)
+                # one reduction per statistic per GROUP (axis 2 = pixels)
+                mean = flat.mean(axis=2)
+                std = flat.std(axis=2)
+                mn = flat.min(axis=2)
+                mx = flat.max(axis=2)
+                b = np.tile(np.arange(info.bands), len(sel))
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": np.repeat(ids[sel], info.bands),
+                            "fmt": fmt,
+                            "band": b.astype(np.int32),
+                            "mean": mean.ravel(),
+                            "std": std.ravel(),
+                            "min": mn.ravel(),
+                            "max": mx.ravel(),
+                        }
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=["image_id", "fmt", "band", "mean", "std", "min", "max"],
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(
+                    columns=["image_id", "fmt", "band", "mean", "std", "min", "max"]
+                )
             )
 
     return df.mapInPandas(stats, schema=STATS_SCHEMA)
@@ -69,26 +100,26 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize of every image to (out_h, out_w).
 
     Pure NumPy fancy indexing — no interpolation library needed; pixel (i, j)
-    maps to source (floor((i+0.5)*h/out_h), floor((j+0.5)*w/out_w)).
+    maps to source (floor((i+0.5)*h/out_h), floor((j+0.5)*w/out_w)). The
+    gather runs once per (h, w, fmt) group over the stacked (B, C, h, w)
+    array.
     """
     schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            new_bytes = np.empty(len(pdf), dtype=object)
+            for sel, arr, h, w, fmt in _group_stack(pdf):
+                ri = np.minimum(
+                    ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1
+                )
+                ci = np.minimum(
+                    ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1
+                )
+                resized = np.ascontiguousarray(arr[:, :, ri[:, None], ci[None, :]])
+                for row, i in enumerate(sel.tolist()):
+                    new_bytes[i] = resized[row].tobytes()
             out = pdf.copy()
-            new_bytes = []
-            for _, r in pdf.iterrows():
-                arr = codec.decode(r["bytes"], r["w"], r["h"], r["fmt"])
-                rows = np.minimum(
-                    ((np.arange(out_h) + 0.5) * r["h"] / out_h).astype(np.int64),
-                    r["h"] - 1,
-                )
-                cols = np.minimum(
-                    ((np.arange(out_w) + 0.5) * r["w"] / out_w).astype(np.int64),
-                    r["w"] - 1,
-                )
-                resized = arr[:, rows[:, None], cols[None, :]]
-                new_bytes.append(codec.encode(resized, r["fmt"]))
             out["bytes"] = new_bytes
             out["w"] = out_w
             out["h"] = out_h
@@ -102,28 +133,55 @@ FRAME_SCHEMA = "image_id string, frame int, bytes binary, w int, h int, fmt stri
 #: video formats a real deployment would register decoders for
 _VIDEO_FMTS = {"mp4", "webm", "mkv"}
 
+#: multi-frame clip container: F frames of raw (3, h, w) uint8 concatenated;
+#: frames inherit the per-frame still format on output
+_SEQ_FMTS = {"npyseq8": "npy8"}
+
 
 def sample_frames(df: DataFrame, every_k: int = 1) -> DataFrame:
-    """Frame sampling over video payloads (plumbing real, decoder stubbed).
+    """Emit frames ``0, k, 2k, …`` of each clip.
 
-    ``npy*`` images pass through as single-frame clips; real video formats
-    raise NotImplementedError inside the task (fail-fast), documenting the
-    decoder seam without pretending to decode.
+    ``npyseq8`` payloads are real multi-frame clips (frame count =
+    len(bytes) / frame_size) and exercise the sampling arithmetic; single
+    npy* images pass through as 1-frame clips. Real video formats raise
+    NotImplementedError inside the task (fail-fast decoder seam).
     """
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["fmt"] in _VIDEO_FMTS:
+            for r in pdf.itertuples(index=False):
+                if r.fmt in _VIDEO_FMTS:
                     raise NotImplementedError(
-                        f"video codec {r['fmt']!r} requires a decoder library "
+                        f"video codec {r.fmt!r} requires a decoder library "
                         "not present in this environment"
                     )
-                if 0 % max(every_k, 1) == 0:  # frame 0 of a 1-frame clip
-                    rows.append(
-                        (r["image_id"], 0, r["bytes"], r["w"], r["h"], r["fmt"])
-                    )
+                if r.fmt in _SEQ_FMTS:
+                    still_fmt = _SEQ_FMTS[r.fmt]
+                    info = codec.format_info(still_fmt)
+                    fsize = info.bands * r.h * r.w * info.dtype.itemsize
+                    if fsize == 0 or len(r.bytes) % fsize:
+                        raise ValueError(
+                            f"clip payload {len(r.bytes)} not a multiple of "
+                            f"frame size {fsize}"
+                        )
+                    n_frames = len(r.bytes) // fsize
+                    for f in range(0, n_frames, every_k):
+                        rows.append(
+                            (
+                                r.image_id,
+                                f,
+                                r.bytes[f * fsize : (f + 1) * fsize],
+                                r.w,
+                                r.h,
+                                still_fmt,
+                            )
+                        )
+                else:
+                    # stills are 1-frame clips; frame 0 is always sampled
+                    rows.append((r.image_id, 0, r.bytes, r.w, r.h, r.fmt))
             yield pd.DataFrame(
                 rows, columns=["image_id", "frame", "bytes", "w", "h", "fmt"]
             )

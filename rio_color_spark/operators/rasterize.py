@@ -104,8 +104,9 @@ def _accumulate_grid(
     lon = pdf["lon"].to_numpy()
     lat = pdf["lat"].to_numpy()
     fx = (lon + 180.0) / 360.0 * n - x
-    lat_rad = np.radians(np.clip(lat, -tilemod.MAX_LAT, tilemod.MAX_LAT))
-    fy = (1.0 - np.arcsinh(np.tan(lat_rad)) / np.pi) / 2.0 * n - y
+    # same asinh formulation as the tile assignment (tiles.mercator_y_frac),
+    # so a boundary point bins into the same edge pixel the JVM tiled it to
+    fy = tilemod.mercator_y_frac(lat) * n - y
     col = np.clip((fx * resolution).astype(np.int64), 0, resolution - 1)
     row = np.clip((fy * resolution).astype(np.int64), 0, resolution - 1)
     grid = np.zeros(resolution * resolution, dtype=np.int64)
@@ -166,15 +167,15 @@ def vectorize_mask(
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                mask = np.frombuffer(r["mask"], dtype=np.uint8).reshape(
+            for r in pdf.itertuples(index=False):
+                mask = np.frombuffer(r.mask, dtype=np.uint8).reshape(
                     resolution, resolution
                 )
                 ridx, cidx = np.nonzero(mask)
                 if len(ridx) == 0:
                     continue
                 lon, lat = tilemod.tile_pixel_lonlat(
-                    r["tile_x"], r["tile_y"], r["tile_z"], resolution
+                    r.tile_x, r.tile_y, r.tile_z, resolution
                 )
                 plon = lon[cidx]
                 plat = lat[ridx]
@@ -182,7 +183,7 @@ def vectorize_mask(
                 rows.append(
                     pd.DataFrame(
                         {
-                            "tile_xyz": r["tile_xyz"],
+                            "tile_xyz": r.tile_xyz,
                             "lon": plon,
                             "lat": plat,
                             "cell_id": cells,

@@ -17,7 +17,7 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     the usual ~4-chars-per-token heuristic, exact integer math.
     """
     toks = TH.tokens_col(F.col(text_col))
-    chars_ns = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    chars_ns = F.length(F.regexp_replace(F.col(text_col), TH.WS_REGEX, ""))
     return df.withColumns(
         {
             "n_tokens": F.size(toks),
@@ -44,7 +44,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
-    chars_ns = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    chars_ns = F.length(F.regexp_replace(F.col(text_col), TH.WS_REGEX, ""))
 
     len_score = F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0))
     punct_ratio = F.when(
@@ -69,5 +69,5 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalization-stable content fingerprint: md5 of lowercase text with
     whitespace runs collapsed to single spaces."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), TH.WS_REGEX, " ")
     return df.withColumn("fingerprint", F.md5(norm.cast("binary")))

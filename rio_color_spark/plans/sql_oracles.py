@@ -228,7 +228,7 @@ def luv_roundtrip_sql(r: str, g: str, b: str) -> str:
 # text-hash expression builders (SQL mirrors of functions/texthash.py)
 # ---------------------------------------------------------------------------
 
-TOKENS_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+TOKENS_SQL = rf"regexp_split_to_array(trim(lower(text)), '{TH.WS_REGEX}')"
 
 
 def token_hash_sql(t: str) -> str:

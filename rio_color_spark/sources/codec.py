@@ -12,6 +12,7 @@ Built-in lossless formats (self-contained; rasterio/Pillow are absent here):
 - ``npy8a`` — uint8,  4 bands (RGBA), raw C-order (4, h, w) buffer
 - ``npy16`` — uint16, 3 bands (RGB),  raw C-order (3, h, w) buffer,
   little-endian
+- ``npy16a`` — uint16, 4 bands (RGBA), little-endian
 
 Real codecs (JPEG/PNG/WebP) plug in through the same table: decode is a
 pure ``bytes, w, h -> ndarray`` function, so registering one entry makes the
@@ -39,6 +40,7 @@ _FORMATS = {
     "npy8": Format("npy8", np.dtype("uint8"), 3),
     "npy8a": Format("npy8a", np.dtype("uint8"), 4),
     "npy16": Format("npy16", np.dtype("<u2"), 3),
+    "npy16a": Format("npy16a", np.dtype("<u2"), 4),
 }
 
 #: formats that would require an external codec library — stubbed here
@@ -83,7 +85,5 @@ def fmt_for_dtype(dtype, bands: int) -> str:
     if dt == np.uint8:
         return "npy8a" if bands == 4 else "npy8"
     if dt == np.uint16:
-        if bands == 4:
-            raise ValueError("no 4-band uint16 format registered")
-        return "npy16"
+        return "npy16a" if bands == 4 else "npy16"
     raise ValueError(f"no format for dtype {dt}")

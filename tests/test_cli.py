@@ -1,0 +1,102 @@
+"""CLI tests — the repo analogue of the reference tests/test_cli.py surface:
+e2e runs on a real table, jobs-count determinism, out-dtype, bad/empty ops
+exit codes, the --as-color golden echo, and check_jobs branches."""
+
+import multiprocessing
+import os
+
+import numpy as np
+import pytest
+
+from rio_color_spark.cli import main
+from rio_color_spark.sources import codec
+from rio_color_spark.sources.images import images_df
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def src_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "src")
+    images_df(spark, N).write.parquet(path)
+    return path
+
+
+def _read_pixels(spark, path):
+    rows = spark.read.parquet(path).select("image_id", "bytes", "fmt").collect()
+    return {r["image_id"]: (bytes(r["bytes"]), r["fmt"]) for r in rows}
+
+
+def test_color_e2e_and_jobs_determinism(spark, src_table, tmp_path):
+    """j=1 output equals j=2 output byte-for-byte (reference
+    tests/test_cli.py:19-81's j1-vs-j2 equality)."""
+    out1 = str(tmp_path / "o1")
+    out2 = str(tmp_path / "o2")
+    ops = ["gamma", "b", "1.85,", "gamma", "rg", "1.95,", "sigmoidal", "rgb", "35", "0.13"]
+    assert main(["color", "-j", "1", src_table, out1] + ops) == 0
+    assert main(["color", "-j", "2", src_table, out2] + ops) == 0
+    p1 = _read_pixels(spark, out1)
+    p2 = _read_pixels(spark, out2)
+    assert p1.keys() == p2.keys() and len(p1) == N
+    assert p1 == p2
+    src = _read_pixels(spark, src_table)
+    changed = [k for k in src if p1[k][0] != src[k][0]]
+    assert len(changed) > N * 0.9  # the chain actually recolors
+
+
+def test_color_out_dtype(spark, src_table, tmp_path):
+    out = str(tmp_path / "o16")
+    assert main(["color", "-d", "uint16", "--co", "compression=zstd",
+                 src_table, out, "gamma", "rgb", "1.2"]) == 0
+    for r in spark.read.parquet(out).select("bytes", "fmt", "w", "h").take(20):
+        info = codec.format_info(r["fmt"])
+        assert info.dtype == np.dtype("uint16")
+        assert len(r["bytes"]) == info.bands * r["w"] * r["h"] * 2
+
+
+def test_color_bad_and_empty_ops_exit_2(src_table, tmp_path):
+    out = str(tmp_path / "bad")
+    with pytest.raises(SystemExit) as e:
+        main(["color", src_table, out, "gamme", "1.85"])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        main(["color", src_table, out])  # empty operations
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        main(["color", src_table, out, ",", ",", ","])
+    assert e.value.code == 2
+    assert not os.path.exists(out)
+
+
+def test_as_color_golden(capsys):
+    """Exact echo pinned to the reference golden
+    (tests/test_cli.py:233-241)."""
+    assert main(["atmos", "-a", "0.03", "--as-color", "foo.parquet", "bar.parquet"]) == 0
+    assert (
+        capsys.readouterr().out.strip()
+        == "rio color foo.parquet bar.parquet gamma g 0.99, gamma b 0.97, sigmoidal rgb 10.0 0.15"
+    )
+    assert not os.path.exists("bar.parquet")
+
+
+def test_atmos_e2e_matches_color_of_opstring(spark, src_table, tmp_path):
+    """atmos output == color output of its own opstring (reference
+    tests/test_operations.py:200-205 equivalence, e2e)."""
+    oa = str(tmp_path / "atmos")
+    oc = str(tmp_path / "color")
+    assert main(["atmos", "-a", "0.05", "-c", "12", "-b", "0.2", src_table, oa]) == 0
+    assert main(["color", src_table, oc, "gamma", "g",
+                 f"{1 - 0.05 / 3.0},", "gamma", "b", "0.95,",
+                 "sigmoidal", "rgb", "12.0", "0.2"]) == 0
+    assert _read_pixels(spark, oa) == _read_pixels(spark, oc)
+
+
+def test_check_jobs_branches():
+    from rio_color_spark.cli import _build_parser, check_jobs
+
+    parser = _build_parser()
+    assert check_jobs(4, parser) == 4
+    assert check_jobs(-1, parser) == multiprocessing.cpu_count()
+    with pytest.raises(SystemExit) as e:
+        check_jobs(0, parser)
+    assert e.value.code == 2

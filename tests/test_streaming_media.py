@@ -89,3 +89,41 @@ def test_sample_frames_passthrough_and_stub(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|decoder library"):
         sample_frames(vid).collect()
+
+
+def test_sample_frames_every_k_on_multiframe_clips(spark):
+    """npyseq8 clips exercise the real sampling arithmetic: frames
+    0, k, 2k, ... are emitted with the correct per-frame payloads."""
+    h = w = 4
+    fsize = 3 * h * w
+    rows = []
+    for n, n_frames in ((0, 7), (1, 1), (2, 12)):
+        payload = bytes(
+            bytearray((n * 100 + f * 10 + p) % 251 for f in range(n_frames) for p in range(fsize))
+        )
+        rows.append((f"clip{n}", payload, w, h, "npyseq8"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+    for k, want in ((1, {("clip0", 7), ("clip1", 1), ("clip2", 12)}),
+                    (3, {("clip0", 3), ("clip1", 1), ("clip2", 4)})):
+        out = sample_frames(df, every_k=k).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["image_id"], []).append(r)
+        assert {(cid, len(fs)) for cid, fs in got.items()} == want
+        for cid, fs in got.items():
+            n = int(cid[4:])
+            for r in fs:
+                assert r["frame"] % k == 0
+                assert r["fmt"] == "npy8" and len(r["bytes"]) == fsize
+                # payload of frame f is the f-th slice of the clip
+                f = r["frame"]
+                expect = bytes(
+                    bytearray((n * 100 + f * 10 + p) % 251 for p in range(fsize))
+                )
+                assert bytes(r["bytes"]) == expect
+
+    with pytest.raises(ValueError, match="every_k"):
+        sample_frames(df, every_k=0)
