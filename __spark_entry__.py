@@ -448,6 +448,38 @@ def _golden_media_values() -> tuple[str, str]:
     return stats, resize
 
 
+def q_band_histogram(spark, sf_dir):
+    """Distributed exact 10-bin per-band histogram (the optimize_color
+    building block, reference scripts/optimize_color.py:168-191)."""
+    from rio_color_spark.operators.optimize import histogram_df
+
+    return histogram_df(_synth_images(spark, sf_dir)).select("band", "bin", "n")
+
+
+def _golden_histogram_values() -> str:
+    """Pinned golden: single-pass NumPy histogram over the 400 synthetic
+    images — gates the distributed partial+merge plan."""
+    import numpy as np
+
+    from rio_color_spark.sources import codec
+    from rio_color_spark.sources.images import generate_pandas
+
+    edges = [x / 10 for x in range(11)]
+    counts = np.zeros((3, 10), dtype=np.int64)
+    for r in generate_pandas(np.arange(400)).itertuples(index=False):
+        info = codec.format_info(r.fmt)
+        arr = np.frombuffer(r.bytes, dtype=info.dtype).reshape(info.bands, r.h, r.w)
+        scaled = arr.astype(np.float64) / np.iinfo(info.dtype).max
+        for b in range(3):
+            counts[b] += np.histogram(scaled[b], bins=edges)[0]
+    rows = [
+        f"({b}, {k}, {int(counts[b, k])})" for b in range(3) for k in range(10)
+    ]
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS g(band, bin, n)"
+    )
+
+
 def _golden_rasterize_values() -> str:
     """Pinned golden for rasterize_points: the per-tile density grids of the
     400 synthetic points, computed GLOBALLY (no salting, no Spark) — so the
@@ -565,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "cosine_neardup": q_cosine_neardup,
         "rasterize_points": q_rasterize_points,
+        "band_histogram": q_band_histogram,
         "resize_images": q_resize_images,
         "band_stats": q_band_stats,
         "tpch_q1": q_tpch_q1,
@@ -759,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
         "band_stats": _media_goldens[0],
         "resize_images": _media_goldens[1],
         "rasterize_points": _golden_rasterize_values(),
+        "band_histogram": _golden_histogram_values(),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
             "round(sum(l_extendedprice), 2) AS sum_base_price, "

@@ -46,7 +46,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SCALING_LEVELS = (2, 8, 32)
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
 
 METRIC = (
     "images/sec end-to-end (decode -> cell/tile encode -> PIP join -> "
@@ -95,18 +95,42 @@ def _burn_task(_):
     return time.perf_counter() - t0
 
 
-def envelope_once(procs: int) -> float:
-    """Aggregate pure-CPU capacity (burn-loops/sec) of ``procs`` workers.
+def _stream_task(_):
+    """DRAM-bandwidth burn: stream ~3×64 MB of float64 through the caches.
 
-    Run under the SAME affinity mask as the measurement it brackets, it is
-    the hardware+neighbors ceiling for that window: engine efficiency can
-    be read against it when the host under-delivers.
-    """
+    The pixel pipeline is memory-bound at high parallelism; the pure-CPU
+    burn cannot see a neighbor thrashing the host's DRAM, this can."""
+    import numpy as np
+
+    a = np.ones(8_000_000)  # 64 MB
+    b = np.empty_like(a)
+    np.multiply(a, 1.000001, out=b)  # touch every page before timing
+    t0 = time.perf_counter()
+    for _i in range(3):
+        np.multiply(a, 1.000001, out=b)
+        a, b = b, a
+    dt = time.perf_counter() - t0
+    return (3 * 2 * a.nbytes / 1e9) / dt  # GB/s read+write
+
+
+def envelope_once(procs: int) -> dict:
+    """Aggregate host capacity at ``procs`` workers under the current
+    affinity mask: {"cpu": burn-loops/sec, "dram_gbs": aggregate GB/s}.
+
+    Run in the SAME window as the measurement it brackets, these are the
+    hardware+neighbors ceilings: engine efficiency is read against them
+    when the host under-delivers (the CPU ceiling catches core stealing,
+    the DRAM ceiling catches memory-bandwidth neighbors — this host's
+    pixel pipeline is DRAM-bound above ~8 concurrent streams)."""
     import multiprocessing as mp
 
     with mp.get_context("spawn").Pool(procs) as p:
         per = p.map(_burn_task, range(procs))
-    return round(procs / (sum(per) / len(per)), 3)
+        gbs = p.map(_stream_task, range(procs))
+    return {
+        "cpu": round(procs / (sum(per) / len(per)), 3),
+        "dram_gbs": round(sum(gbs), 2),
+    }
 
 
 def run_pipeline_once(cpus: int, images_path: str, n_images: int) -> float:
@@ -198,11 +222,9 @@ def _scaling_block(img_path: str, n_images: int) -> tuple[dict, dict]:
         c: min(rs, key=lambda r: r["seconds"]) for c, rs in runs.items()
     }
     rates = {c: n_images / best[c]["seconds"] for c in SCALING_LEVELS}
-    # envelope of the chosen (min) run: mean of its before/after burns
-    env = {
-        c: (best[c]["env_before"] + best[c]["env_after"]) / 2.0
-        for c in SCALING_LEVELS
-    }
+
+    def _env(run: dict, kind: str) -> float:
+        return (run["env_before"][kind] + run["env_after"][kind]) / 2.0
 
     scaling: dict = {
         f"local[{c}]_images_per_sec": round(rates[c], 1) for c in SCALING_LEVELS
@@ -212,12 +234,23 @@ def _scaling_block(img_path: str, n_images: int) -> tuple[dict, dict]:
     }
     for a, b in ((2, 8), (8, 32)):
         raw = (rates[b] / rates[a]) / 4.0
-        env_eff = (env[b] / env[a]) / 4.0
+        cpu_eff = (_env(best[b], "cpu") / _env(best[a], "cpu")) / 4.0
+        dram_eff = (_env(best[b], "dram_gbs") / _env(best[a], "dram_gbs")) / 4.0
+        # the binding host ceiling for this pair: whichever resource the
+        # host scaled WORSE on in these windows
+        env_eff = min(cpu_eff, dram_eff)
         scaling[f"efficiency_{a}_to_{b}"] = round(raw, 3)
-        scaling[f"envelope_eff_{a}_to_{b}"] = round(env_eff, 3)
+        scaling[f"envelope_cpu_eff_{a}_to_{b}"] = round(cpu_eff, 3)
+        scaling[f"envelope_dram_eff_{a}_to_{b}"] = round(dram_eff, 3)
         scaling[f"efficiency_{a}_to_{b}_envelope_normalized"] = round(
             raw / env_eff, 3
         ) if env_eff > 0 else None
+        # same-window pairing: efficiency computed within each interleaved
+        # round (the two runs are minutes apart, not tens of minutes)
+        scaling[f"per_round_efficiency_{a}_to_{b}"] = [
+            round(ra["seconds"] / (4.0 * rb["seconds"]), 3)
+            for ra, rb in zip(runs[a], runs[b])
+        ]
     scaling["north_rule_pair"] = "2_to_8"
     scaling["all_runs"] = {
         str(c): [

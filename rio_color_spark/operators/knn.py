@@ -30,7 +30,10 @@ def candidate_cells_udf(level: int):
         c = cell.to_numpy()
         ring = cellmod.neighbor_ring(c, level)  # (N, 8)
         full = np.concatenate([c[:, None], ring], axis=1)  # (N, 9)
-        return pd.Series(list(full))
+        # cube corners repeat a cell in the ring; dedupe per row HERE so
+        # the explode→join can never emit a duplicate candidate pair and
+        # no pair-level dropDuplicates shuffle is needed downstream
+        return pd.Series([np.unique(row) for row in full])
 
     return _cands
 
@@ -75,8 +78,8 @@ def knn_join(
     pairs = (
         left.join(right, "cand_cell")
         .filter(F.col("image_id") != F.col("neighbor_id"))
-        # cube-corner rings can repeat a cell → dedupe candidate pairs
-        .dropDuplicates(["image_id", "neighbor_id"])
+        # pairs are already distinct: candidate cells are deduped per row
+        # and a neighbor lives in exactly one cell — no extra shuffle
         .withColumn(
             "dist_km",
             haversine_km(F.col("lon"), F.col("lat"), F.col("n_lon"), F.col("n_lat")),

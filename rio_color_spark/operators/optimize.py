@@ -67,11 +67,12 @@ def _hist_sse(h1: np.ndarray, h2: np.ndarray) -> float:
     return float(((h1 - h2) ** 2).sum())
 
 
-def band_histograms(df: DataFrame, bins=None) -> np.ndarray:
-    """Exact per-band normalized histogram of every pixel in the table.
+def histogram_df(df: DataFrame, bins=None) -> DataFrame:
+    """Distributed exact per-band pixel histogram: (band, bin, n).
 
-    Returns (3, n_bins) float64. One Python pass over the data; the only
-    shuffle carries (band, bin, count) longs.
+    One Python pass over the data (partial ``np.histogram`` per task,
+    merged by a (band, bin) groupBy — map-side combine; the shuffle
+    carries bands × bins longs per task, nothing else).
     """
     edges = DEFAULT_BINS if bins is None else np.asarray(bins, dtype=np.float64)
     nb = len(edges) - 1
@@ -89,15 +90,20 @@ def band_histograms(df: DataFrame, bins=None) -> np.ndarray:
             {"band": band_idx, "bin": bin_idx, "n": counts.ravel()}
         )
 
-    rows = (
+    return (
         df.select("bytes", "w", "h", "fmt")
         .mapInPandas(partial, schema="band int, bin int, n long")
         .groupBy("band", "bin")
         .agg(F.sum("n").alias("n"))
-        .collect()
     )
+
+
+def band_histograms(df: DataFrame, bins=None) -> np.ndarray:
+    """Exact per-band normalized histogram of every pixel; (3, n_bins)."""
+    edges = DEFAULT_BINS if bins is None else np.asarray(bins, dtype=np.float64)
+    nb = len(edges) - 1
     out = np.zeros((3, nb), dtype=np.float64)
-    for r in rows:
+    for r in histogram_df(df, edges).collect():
         out[r["band"], r["bin"]] = r["n"]
     return out / out.sum(axis=1, keepdims=True)
 
