@@ -448,6 +448,114 @@ def _golden_media_values() -> tuple[str, str]:
     return stats, resize
 
 
+def _fixture_points(spark, n=500):
+    """The deterministic doc-point formula over a FIXED 500-id range, so
+    the rasterize goldens are sf-independent (the documents table's row
+    count varies with sf; the point formula does not)."""
+    return _doc_lonlat(spark.range(n).select(F.col("id").alias("doc_id")))
+
+
+def _fixture_masks(spark):
+    from rio_color_spark.operators.rasterize import rasterize_polygons
+    from rio_color_spark.operators.spatial import with_tiles
+
+    pts = with_tiles(_fixture_points(spark), zoom=8)
+    packed = pack_polygons([(pid, np.array(ring)) for pid, ring in PIP_POLYS])
+    pairs = point_in_polygon_join(pts, packed, zoom=8, pip_zoom=4)
+    return rasterize_polygons(pairs.select("tile_xyz", "poly_id"), packed, resolution=8)
+
+
+def q_rasterize_polygons(spark, sf_dir):
+    """Vector→raster: per-tile coverage masks of the PIP fixture polygons
+    (mask payload gated by md5)."""
+    out = _fixture_masks(spark)
+    return out.select(
+        "tile_xyz", "tile_x", "tile_y", "tile_z", F.md5("mask").alias("mask_md5")
+    )
+
+
+def q_vectorize_mask(spark, sf_dir):
+    """Raster→vector: set pixels of the coverage masks back to lon/lat +
+    cell ids (the inverse path)."""
+    from rio_color_spark.operators.rasterize import vectorize_mask
+
+    out = vectorize_mask(_fixture_masks(spark), resolution=8, level=6)
+    # round(12): coarser than the ULP noise DuckDB's DECIMAL literal
+    # inference adds to the golden, finer than any decimal tie (pixel lons
+    # are exact dyadic decimals at 8 digits — rounding them at 12 is the
+    # identity; 8-digit rounding would hit exact .5 ties where Spark and
+    # DuckDB disagree on direction)
+    return out.select(
+        "tile_xyz",
+        F.round(F.col("lon"), 12).alias("lon"),
+        F.round(F.col("lat"), 12).alias("lat"),
+        "cell_id",
+    )
+
+
+def _golden_raster_vector_values() -> tuple[str, str]:
+    """Pinned goldens for rasterize_polygons / vectorize_mask, computed
+    with a single-pass driver-side derivation (no Spark, no applyInPandas
+    grouping): doc points → tiles → PIP membership → per-tile pixel-grid
+    ray cast → masks (+ the set-pixel inverse)."""
+    import hashlib
+
+    from rio_color_spark.functions import cells as cellmod
+    from rio_color_spark.functions import tiles as tilemod
+    from rio_color_spark.functions.pip import pip_multi
+    from rio_color_spark.functions.pip import pack_polygons as _pack
+
+    res, zoom, level = 8, 8, 6
+    n_docs = 500
+    doc_id = np.arange(n_docs)
+    lon = ((doc_id * 7919) % 35000) / 100.0 - 175.0 + 0.005
+    lat = ((doc_id * 104729) % 16000) / 100.0 - 80.0 + 0.005
+    packed = _pack([(pid, np.array(ring)) for pid, ring in PIP_POLYS])
+    tx, ty = tilemod.tile_xy(lon, lat, zoom)
+    txyz = tilemod.pack_tile(tx, ty, zoom)
+    members = pip_multi(lon, lat, packed)
+    tile_polys: dict[int, set[str]] = {}
+    for k in range(n_docs):
+        for pid in members[k]:
+            tile_polys.setdefault(int(txyz[k]), set()).add(pid)
+    idx_of = {pid: i for i, pid in enumerate(packed.poly_ids)}
+
+    mask_rows = []
+    vec_rows = []
+    for t in sorted(tile_polys):
+        x = int((t >> 29) & ((1 << 29) - 1))
+        y = int(t & ((1 << 29) - 1))
+        glon, glat = tilemod.tile_pixel_lonlat(x, y, zoom, res)
+        mlon, mlat = np.meshgrid(glon, glat)
+        mask = np.zeros(res * res, dtype=bool)
+        from rio_color_spark.functions.pip import pip_pairs
+
+        for pid in tile_polys[t]:
+            mask |= pip_pairs(
+                mlon.ravel(), mlat.ravel(),
+                np.full(res * res, idx_of[pid]), packed,
+            )
+        md5 = hashlib.md5(mask.astype(np.uint8).tobytes()).hexdigest()
+        mask_rows.append(f"({t}, {x}, {y}, {zoom}, '{md5}')")
+        ridx, cidx = np.nonzero(mask.reshape(res, res))
+        if len(ridx):
+            plon, plat = glon[cidx], glat[ridx]
+            cells = cellmod.encode_cell(plon, plat, level)
+            for a, b, c in zip(plon, plat, cells):
+                vec_rows.append(f"({t}, {float(a)!r}, {float(b)!r}, {int(c)})")
+    masks_sql = (
+        "SELECT * FROM (VALUES " + ", ".join(mask_rows)
+        + ") AS g(tile_xyz, tile_x, tile_y, tile_z, mask_md5)"
+    )
+    vec_sql = (
+        "SELECT tile_xyz, round(lon_raw::DOUBLE, 12) AS lon, "
+        "round(lat_raw::DOUBLE, 12) AS lat, cell_id "
+        "FROM (VALUES " + ", ".join(vec_rows)
+        + ") AS g(tile_xyz, lon_raw, lat_raw, cell_id)"
+    )
+    return masks_sql, vec_sql
+
+
 def q_band_histogram(spark, sf_dir):
     """Distributed exact 10-bin per-band histogram (the optimize_color
     building block, reference scripts/optimize_color.py:168-191)."""
@@ -597,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "cosine_neardup": q_cosine_neardup,
         "rasterize_points": q_rasterize_points,
+        "rasterize_polygons": q_rasterize_polygons,
+        "vectorize_mask": q_vectorize_mask,
         "band_histogram": q_band_histogram,
         "resize_images": q_resize_images,
         "band_stats": q_band_stats,
@@ -608,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     S = SQL
     _media_goldens = _golden_media_values()
+    _raster_vector_goldens = _golden_raster_vector_values()
     px = f"SELECT l_orderkey, l_linenumber, {S.PX_R} AS px_r, {S.PX_G} AS px_g, {S.PX_B} AS px_b FROM lineitem"
     doc_pts = f"SELECT doc_id, {S.DOC_LON} AS lon, {S.DOC_LAT} AS lat FROM documents"
 
@@ -792,6 +903,8 @@ def oracle_sql() -> dict[str, str]:
         "band_stats": _media_goldens[0],
         "resize_images": _media_goldens[1],
         "rasterize_points": _golden_rasterize_values(),
+        "rasterize_polygons": _raster_vector_goldens[0],
+        "vectorize_mask": _raster_vector_goldens[1],
         "band_histogram": _golden_histogram_values(),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
