@@ -351,6 +351,17 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_lsh_multi(spark, sf_dir):
+    """Multi-table OR-amplified LSH ANN (the 100-TB recall path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = ANN.lsh_bucket_topk(
+        e, k=3, dim=EMB_DIM, query_filter=F.col("id") < 50, n_tables=3
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
 def q_cosine_neardup(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = ANN.cosine_neardup_pairs(e, threshold=0.35, dim=EMB_DIM)
@@ -703,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_multi": q_ann_lsh_multi,
         "cosine_neardup": q_cosine_neardup,
         "rasterize_points": q_rasterize_points,
         "rasterize_polygons": q_rasterize_polygons,
@@ -883,6 +895,21 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT a.vec_id AS query_id, a.bucket, b.vec_id AS neighbor_id, {cos_ab} AS cosine "
             "FROM _e a JOIN _e b ON a.bucket = b.bucket AND a.vec_id < 50 AND a.vec_id != b.vec_id) "
             "SELECT query_id, bucket, neighbor_id, round(cosine, 6) AS cosine, rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM _p) "
+            "WHERE rank <= 3"
+        ),
+        "ann_lsh_multi": (
+            f"WITH _e AS ({emb}),\n_t AS ("
+            + " UNION ALL ".join(
+                f"SELECT vec_id, v, {t} AS tbl, {S.bucket_sql('v', EMB_DIM, seed=t)} AS bkt FROM _e"
+                for t in range(3)
+            )
+            + "),\n_cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id "
+            "FROM _t a JOIN _t b ON a.tbl = b.tbl AND a.bkt = b.bkt "
+            "AND a.vec_id < 50 AND a.vec_id != b.vec_id),\n"
+            f"_p AS (SELECT query_id, neighbor_id, {S.cosine_sql('ea.v', 'eb.v', EMB_DIM)} AS cosine "
+            "FROM _cand JOIN _e ea ON ea.vec_id = query_id JOIN _e eb ON eb.vec_id = neighbor_id) "
+            "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM ("
             "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM _p) "
             "WHERE rank <= 3"
         ),

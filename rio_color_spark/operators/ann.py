@@ -111,32 +111,53 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_filter: Column | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Bucketed ANN: candidates share the query's hyperplane-sign bucket."""
-    planes = hyperplanes(dim)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-    ).withColumn("bucket", bucket_col(F.col("v"), planes))
-    q = base.filter(query_filter) if query_filter is not None else base
+    """Bucketed ANN: candidates share the query's hyperplane-sign bucket.
+
+    ``n_tables > 1`` is the 100-TB recall path (multi-table LSH
+    OR-amplification): each vector lands in one bucket per independent
+    seeded table; a candidate qualifies by sharing a bucket in ANY table.
+    The per-table bucket id doubles as an IVF-style partition key — at
+    scale, bucket the stored table by it so each query's probe is a
+    partition-pruned scan instead of a shuffle.
+
+    With ``n_tables == 1`` the output keeps the reference single-table
+    shape (query_id, bucket, neighbor_id, cosine, rank); multi-table drops
+    the ``bucket`` column (a pair can qualify via several buckets).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    buckets = F.array(
+        *[bucket_col(F.col("v"), hyperplanes(dim, seed=t)) for t in range(n_tables)]
+    )
+    tagged = base.select(
+        "id", "v", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    q = tagged.filter(query_filter) if query_filter is not None else tagged
     q = q.select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "tbl", "bucket"
     )
-    c = base.select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    c = tagged.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "tbl", "bucket"
     )
-    pairs = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+    pairs = q.join(c, ["tbl", "bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
+    if n_tables > 1:
+        # a pair can match in several tables — dedupe on the narrow keys
+        # before the (64-term) cosine evaluation
+        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
+    pairs = pairs.withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
+    out_cols = ["query_id", "neighbor_id", "cosine", "rank"]
+    if n_tables == 1:
+        out_cols.insert(1, "bucket")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+        .select(*out_cols)
     )
 
 

@@ -22,8 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from rio_color_spark.operators.color import color_correct
-from rio_color_spark.operators.spatial import with_spatial_index
+from rio_color_spark.operators.color import index_and_color
 from rio_color_spark.sources.images import IMAGES_SCHEMA
 
 
@@ -54,7 +53,10 @@ def stream_color_correct(
     checkpoint).
     """
     stream = read_image_stream(spark, input_path)
-    out = color_correct(with_spatial_index(stream, zoom=zoom, level=level), ops)
+    # fused index+color: ONE Python worker set per micro-batch task (the
+    # with_spatial_index → color_correct chain is two, which collapses at
+    # high local parallelism — see operators/color.index_and_color)
+    out = index_and_color(stream, ops, zoom=zoom, level=level)
     writer = (
         out.writeStream.format("parquet")
         .option("path", output_path)

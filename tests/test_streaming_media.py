@@ -3,9 +3,8 @@
 import numpy as np
 import pytest
 
-from rio_color_spark.operators.color import color_correct
+from rio_color_spark.operators.color import index_and_color
 from rio_color_spark.operators.media import resize_images, sample_frames, with_band_stats
-from rio_color_spark.operators.spatial import with_spatial_index
 from rio_color_spark.sources import codec
 from rio_color_spark.sources.images import generate_pandas, images_df
 from rio_color_spark.streaming.pipeline import stream_color_correct
@@ -23,9 +22,8 @@ def test_stream_color_correct_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
 
     got = spark.read.parquet(str(tmp_path / "out"))
-    batch = color_correct(
-        with_spatial_index(spark.read.parquet(inp), zoom=12, level=12), OPS
-    )
+    # batch twin of the streaming stage (same fused operator)
+    batch = index_and_color(spark.read.parquet(inp), OPS, zoom=12, level=12)
     assert got.count() == 120
     assert got.exceptAll(batch).isEmpty()
     assert batch.exceptAll(got).isEmpty()
