@@ -196,9 +196,11 @@ def _pipeline_only(args) -> None:
             os.sched_setaffinity(0, set(range(args.cpus)))
         except (AttributeError, OSError):
             pass  # non-Linux: unpinned fallback
-    # small-file bench inputs need a low split cap so the heavy Python
-    # stage fans out to every core (parquet can't split below a row group)
-    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m")
+    # one file per split for the many-small-files bench input: the heavy
+    # Python stage fans out to every core, and no sub-file splits are ever
+    # planned (sub-row-group splits of zstd parquet are 15-25x slower
+    # scans on this box — see session.py openCostInBytes note)
+    os.environ.setdefault("SPARK_GRAFT_OPEN_COST", "16m")
     env0 = envelope_once(args.cpus)
     dt = run_pipeline_once(args.cpus, args.images, args.n)
     env1 = envelope_once(args.cpus)
