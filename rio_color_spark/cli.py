@@ -115,9 +115,17 @@ def _run(src: str, dst: str, ops: str, out_dtype, jobs: int, co: dict) -> None:
     from rio_color_spark.session import get_spark
 
     # under spark-submit (or tests) a session may already exist — reuse it
-    # and leave its lifecycle to its owner; stop only what we created
+    # and leave its lifecycle to its owner; stop only what we created.
+    # A spark-submit --master (SparkConf) also wins over -j: the jobs flag
+    # sizes LOCAL runs, a cluster sizes itself (reference -j ≈ pool size,
+    # cli.py:103-112 — here the pool is the cluster).
+    from pyspark import SparkConf
+
     owned = SparkSession.getActiveSession() is None
-    spark = get_spark("rio-color-spark-cli", master=f"local[{jobs}]")
+    configured = SparkConf().get("spark.master", None)
+    spark = get_spark(
+        "rio-color-spark-cli", master=configured or f"local[{jobs}]"
+    )
     try:
         df = spark.read.parquet(src)
         out = color_correct(df, ops, out_dtype=out_dtype)
