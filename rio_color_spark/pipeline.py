@@ -76,14 +76,16 @@ def run_pipeline(
     knn_k: int = 0,
     knn_level: int = 4,
     fail_after: int | None = None,
+    write_options: dict | None = None,
 ) -> CheckpointedWriter:
     """Run (or resume) the pipeline; returns the writer for readback.
 
     ``images`` may be a parquet path (preferred: file-stripe chunking, one
     scan per input byte) or a DataFrame. ``fail_after`` simulates a crash
-    after N chunk commits (resume tests).
+    after N chunk commits (resume tests). ``write_options`` are creation
+    options applied to every chunk write (e.g. compression codec).
     """
-    writer = CheckpointedWriter(out_base)
+    writer = CheckpointedWriter(out_base, write_options)
     readers = chunk_readers(spark, images, n_chunks)
 
     done = writer.committed()

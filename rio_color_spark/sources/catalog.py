@@ -34,8 +34,13 @@ from pyspark.sql import DataFrame, SparkSession
 class CheckpointedWriter:
     """Chunked, resumable, lineage-tracked writer over the Parquet facade."""
 
-    def __init__(self, base_path: str):
+    def __init__(self, base_path: str, write_options: dict | None = None):
+        """``write_options`` are writer creation options applied to every
+        data write (the facade analogue of GDAL creation options /
+        Iceberg table properties — reference cli.py:85 ``--co``), e.g.
+        ``{"compression": "zstd"}``."""
         self.base = base_path.rstrip("/")
+        self.write_options = dict(write_options or {})
         self.manifest_dir = os.path.join(self.base, "_manifest")
         os.makedirs(self.manifest_dir, exist_ok=True)
 
@@ -71,7 +76,7 @@ class CheckpointedWriter:
     def write_data(self, df: DataFrame, name: str, chunk: int) -> str:
         """Write one named output of a chunk (no commit yet); returns path."""
         path = os.path.join(self.base, name, f"chunk={chunk}")
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").options(**self.write_options).parquet(path)
         return path
 
     @staticmethod

@@ -1,6 +1,8 @@
 """Checkpoint/lineage/resume contract tests (SURVEY.md §7 M6) + the
 end-to-end pipeline kill-and-resume integration test."""
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -123,3 +125,16 @@ def test_fused_pip_matches_standalone_join(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_writer_creation_options_applied(spark, tmp_path):
+    """--co analogue: writer creation options reach every chunk write."""
+    w = CheckpointedWriter(str(tmp_path / "o"), {"compression": "gzip"})
+    w.write_chunk(spark.range(10), 0)
+    files = [
+        f for f in os.listdir(w.chunk_path(0))
+        if f.endswith(".parquet")
+    ]
+    assert files and all(".gz." in f for f in files)
+    assert w.read(spark).count() == 10
+
