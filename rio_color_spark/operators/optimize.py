@@ -127,11 +127,12 @@ def sample_pixels(
 ) -> np.ndarray:
     """Deterministic bounded per-band pixel sample, (3, N) float64 in [0,1].
 
-    The collected sample is HARD-bounded by ``max_pixels`` regardless of
-    table size (ADVICE r2): when the table has more rows than the budget, a
+    The collected sample stays ~``max_pixels`` regardless of table size
+    (ADVICE r2): when the table has more rows than the budget, a
     deterministic ``xxhash64(image_id)`` filter first thins the row set to
-    ~max_pixels images (JVM-side, pushed into the scan's output — images
-    outside the sample never cross into Python), then each surviving image
+    ≈max_pixels images (JVM-side — images outside the sample never cross
+    into Python; hash thinning is binomial, so the count is max_pixels ±
+    O(√max_pixels), not a hard ceiling), then each surviving image
     contributes a ceil-strided slice of ≤ per_image pixels (ceil, not
     floor: a floor stride overshoots the budget by up to 2×). Pass
     ``n_rows`` when the caller already knows the count (e.g. from a

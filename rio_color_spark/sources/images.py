@@ -182,3 +182,48 @@ def images_df(spark, n_rows: int, partitions: int | None = None):
 def write_images(spark, n_rows: int, path: str, partitions: int | None = None):
     """Materialize the synthetic table to parquet (bench input)."""
     images_df(spark, n_rows, partitions).write.mode("overwrite").parquet(path)
+
+
+# -- multi-frame clips (operators/media.sample_frames input) -------------------
+
+
+def clip_spec_for(n: int) -> tuple[int, int, int, str]:
+    """(n_frames, h, w, fmt) for clip row n — deterministic mix of real
+    ``npyseq8`` multi-frame clips and still rows (1-frame passthrough)."""
+    if n % 4 == 3:
+        return 1, 8, 8, "npy8"  # still row: sample_frames passes it through
+    n_frames = 1 + (n % 6)
+    h, w = (8, 8) if n % 2 == 0 else (6, 10)
+    return n_frames, h, w, "npyseq8"
+
+
+def generate_clips_pandas(indices: np.ndarray) -> pd.DataFrame:
+    """Deterministic clips table: every frame's pixels come from one
+    SplitMix64 stream seeded by the clip's phash (frame f occupies the
+    stream's f-th frame_size slice, so frame extraction is checkable by
+    independent slicing arithmetic)."""
+    rows = []
+    for n in np.asarray(indices, dtype=np.int64).tolist():
+        n_frames, h, w, fmt = clip_spec_for(n)
+        ph = int(phash_for(np.array([n]))[0])
+        base = np.uint64(ph if ph >= 0 else ph + 2**64)
+        count = n_frames * 3 * h * w
+        stream = splitmix64(base + np.arange(count, dtype=np.uint64))
+        payload = (stream & np.uint64(0xFF)).astype(np.uint8).tobytes()
+        rows.append((f"clip{n:06d}", payload, w, h, fmt))
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+
+CLIPS_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def clips_df(spark, n_rows: int, partitions: int | None = None):
+    """Distributed deterministic clips table as a DataFrame."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield generate_clips_pandas(pdf["id"].to_numpy())
+
+    return spark.range(0, n_rows, numPartitions=partitions or 8).mapInPandas(
+        gen, schema=CLIPS_SCHEMA
+    )

@@ -82,6 +82,51 @@ def stream_windowed_counts(
     )
 
 
+def drain_windowed_agg(
+    spark: SparkSession, events_path: str, window: str = "1 minute"
+) -> DataFrame:
+    """AvailableNow drain of a static events table THROUGH the streaming
+    engine: file source → tumbling-window count/sum agg → memory sink in
+    ``complete`` output mode; returns the drained result as a batch
+    DataFrame (win struct, event_type, n, sum_value).
+
+    Complete mode (not append+watermark) because a drain of a bounded
+    input must emit every window — append mode would hold back windows the
+    watermark hasn't passed at end-of-stream. The result is the hash-exact
+    twin of the batch windowed aggregation over the same files, which is
+    the driver gate for the streaming lane (the micro-batch partial aggs
+    merge to the same totals the batch plan computes).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    schema = spark.read.parquet(events_path).schema  # footer read, no job
+    if os.path.isfile(events_path):
+        # FileStreamSource requires a directory basePath; expose a single
+        # parquet FILE through a symlink dir (zero copy)
+        d = tempfile.mkdtemp(prefix="rcs_drain_src_")
+        os.symlink(os.path.abspath(events_path), os.path.join(d, "part-0.parquet"))
+        events_path = d
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    agg = stream.groupBy(
+        F.window(F.col("ts"), window).alias("win"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    name = "drain_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="rcs_drain_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _STATE_SCHEMA = "total long"
 _OUTPUT_SCHEMA = "cell_id long, total long"
 

@@ -138,3 +138,26 @@ def test_writer_creation_options_applied(spark, tmp_path):
     assert files and all(".gz." in f for f in files)
     assert w.read(spark).count() == 10
 
+
+
+def test_resume_rejects_rewritten_source(spark, tmp_path):
+    """File-striped resume must fail fast when the source layout changed
+    between runs (the manifest records each stripe's file-list hash)."""
+    src = str(tmp_path / "src")
+    images_df(spark, 200, partitions=4).write.mode("overwrite").parquet(src)
+    packed = pack_polygons(make_polygons(5))
+    base = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(spark, src, base, packed, n_chunks=2, fail_after=1)
+    # rewrite/compact the source: same rows, different file layout
+    images_df(spark, 200, partitions=7).write.mode("overwrite").parquet(src)
+    with pytest.raises(RuntimeError, match="stripe changed"):
+        run_pipeline(spark, src, base, packed, n_chunks=2)
+
+
+def test_lineage_df_is_queryable(spark, tmp_path):
+    w = CheckpointedWriter(str(tmp_path / "out"))
+    run_resumable(w, 3, lambda k: spark.range(k * 10, (k + 1) * 10))
+    lin = w.lineage_df(spark)
+    assert lin.filter("name = 'data'").count() == 3
+    assert lin.groupBy().sum("n_rows").collect()[0][0] == 30

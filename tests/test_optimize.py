@@ -68,3 +68,23 @@ def test_sample_pixels_bounded_and_in_domain(spark):
     assert s.shape[0] == 3
     assert 0 < s.shape[1] <= 15_000  # stride rounding can slightly overshoot
     assert s.min() >= 0.0 and s.max() <= 1.0
+
+
+def test_sample_pixels_thins_when_rows_exceed_budget(spark):
+    """n_rows > max_pixels: the hash filter thins the row set to ≈budget
+    images at 1px each (binomial, so assert a generous envelope), and the
+    ceil stride never overshoots per_image on the dense path."""
+    df = images_df(spark, 300)
+    s = sample_pixels(df, max_pixels=100)
+    assert s.shape[0] == 3
+    assert 0 < s.shape[1] <= 200  # ≈100 survivors ± binomial noise
+    assert s.min() >= 0.0 and s.max() <= 1.0
+    # dense path: per_image bound is exact with the ceil stride
+    s2 = sample_pixels(df, max_pixels=600, n_rows=300)
+    assert s2.shape[1] <= 600
+
+
+def test_band_histograms_rejects_empty_input(spark):
+    df = images_df(spark, 10).filter("w < 0")
+    with pytest.raises(ValueError, match="empty input"):
+        band_histograms(df)

@@ -70,3 +70,40 @@ def test_stateful_cell_counts_accumulate(spark, tmp_path):
     }
     assert final == expect
     assert sum(final.values()) == 100
+
+
+def test_available_now_drain_matches_batch(spark, tmp_path):
+    """drain_windowed_agg (file stream → window agg → complete-mode memory
+    sink) reproduces the batch twin exactly on a bounded input."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rio_color_spark.streaming.pipeline import drain_windowed_agg
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=500, freq="7s"),
+            "event_type": [f"t{i % 3}" for i in range(500)],
+            "value": [i * 0.25 for i in range(500)],
+        }
+    )
+    src = str(tmp_path / "events")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    got = (
+        drain_windowed_agg(spark, src)
+        .select(F.col("win")["start"].alias("ws"), "event_type", "n", "sum_value")
+        .toPandas()
+        .sort_values(["ws", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("win")["start"].alias("ws"), "event_type", "n", "sum_value")
+        .toPandas()
+        .sort_values(["ws", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
