@@ -212,11 +212,17 @@ def _pipeline_only(args) -> None:
             os.sched_setaffinity(0, set(range(args.cpus)))
         except (AttributeError, OSError):
             pass  # non-Linux: unpinned fallback
-    # one file per split for the many-small-files bench input: the heavy
-    # Python stage fans out to every core, and no sub-file splits are ever
-    # planned (sub-row-group splits of zstd parquet are 15-25x slower
-    # scans on this box — see session.py openCostInBytes note)
+    # whole-file packing for the many-small-files bench input: openCost ≈
+    # file weight means splits pack ~3 whole files at 64 MiB (no sub-file
+    # splits are ever planned — sub-row-group splits of zstd parquet are
+    # 15-25x slower scans on this box; see session.py). 64 MiB (not the
+    # session's 128 MiB default) for the pipeline runs: measured r3, both
+    # fill the Arrow batches (64m: local[2] 45.6 s → local[8] 13.2 s vs
+    # 16m's 77.7/22.0), but 64m keeps ~72 splits — ≥2 tasks/core at every
+    # level — which held the interleaved-window 2→8 pair variance down
+    # where 128m's ~36 splits let single-task stragglers swing it
     os.environ.setdefault("SPARK_GRAFT_OPEN_COST", "16m")
+    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "64m")
     env0 = envelope_once(args.cpus)
     dt = run_pipeline_once(args.cpus, args.images, args.n)
     env1 = envelope_once(args.cpus)

@@ -73,15 +73,18 @@ def get_spark(
         )
         .config("spark.speculation.multiplier", "2")
         .config("spark.speculation.quantile", "0.9")
-        # image rows are ~3 KiB; 16 MiB scan partitions ≈ 5k rows/task —
-        # big enough to amortize the per-task Python worker round-trip,
-        # small enough to load-balance. Env-tunable because the right value
-        # scales with input size / core count: a heavy Python-stage job
-        # wants ≥ 2-4 tasks per core, and parquet can't split below a row
-        # group, so small-file inputs may need a lower cap to fan out.
+        # scan-split size. MEASURED on the 100k-image pipeline (r3): 16 MiB
+        # splits of a 256-file input made one ~390-row task per file — each
+        # task crossed into Python with a single undersized Arrow batch and
+        # per-task overhead dominated (local[8] 22.0 s). Packing ~3-7 files
+        # per split fills the 2048-row Arrow batches and amortizes the
+        # worker round-trip: 64 MiB → 13.2 s, 128 MiB → 10.8 s at local[8]
+        # (and 36.5 s vs 77.7 s at local[2]). 128 MiB is also the standard
+        # cluster setting. Env-tunable; never lower it below the parquet
+        # row-group size (openCostInBytes is the packing knob — see below).
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
         )
         # packing knob for many-small-files tables: raising the open cost
         # toward maxPartitionBytes gives ~one file per split WITHOUT
