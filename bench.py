@@ -175,35 +175,70 @@ def run_pipeline_once(cpus: int, images_path: str, n_images: int) -> float:
     # itself is exercised by tests/test_checkpoint.py at multiple chunk
     # counts; per-level adaptive chunking was the round-2 judge's ask.
     t0 = time.perf_counter()
-    run_pipeline(spark, images_path, out + "/run", packed, n_chunks=1)
+    run_pipeline(
+        spark,
+        images_path,
+        out + "/run",
+        packed,
+        n_chunks=int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "1")),
+    )
     dt = time.perf_counter() - t0
     spark.stop()
     shutil.rmtree(out, ignore_errors=True)
     return dt
 
 
+#: per-run hard cap. A pinned 100k-image run finishes in 6-80 s clean and
+#: < 300 s in the worst congested window measured; the cap exists because
+#: local-mode Python-stage tasks can (rarely) wedge on their worker socket
+#: with both sides epoll-blocked (observed at the 1M probe scale: one task
+#: idle-hung 20+ min, jstack showed the task thread in ReaderInputStream
+#: select and the worker at ~0% CPU). A hung subprocess must not hang the
+#: whole bench — kill it and retry once.
+RUN_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_RUN_TIMEOUT", "900"))
+
+
 def pipeline_subprocess(cpus: int, images_path: str, n_images: int) -> dict:
-    """Fresh-process pinned pipeline run; returns seconds + envelope."""
-    res = subprocess.run(
-        [
-            sys.executable,
-            os.path.abspath(__file__),
-            "--pipeline-only",
-            "--pin",
-            "--cpus",
-            str(cpus),
-            "--images",
-            images_path,
-            "--n",
-            str(n_images),
-        ],
-        capture_output=True,
-        text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    if res.returncode != 0:
-        raise RuntimeError(f"pipeline run failed: {res.stderr[-2000:]}")
-    return json.loads(res.stdout.strip().splitlines()[-1])
+    """Fresh-process pinned pipeline run; returns seconds + envelope.
+
+    Retries once on failure or on the wedged-task timeout above; a retry's
+    result is indistinguishable from a first run (fresh process, same
+    pinning), so the min-based protocol is unaffected."""
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--pipeline-only",
+        "--pin",
+        "--cpus",
+        str(cpus),
+        "--images",
+        images_path,
+        "--n",
+        str(n_images),
+    ]
+    last_err = ""
+    for _attempt in range(2):
+        try:
+            res = subprocess.run(
+                cmd,
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=RUN_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"timed out after {RUN_TIMEOUT_S}s (wedged run killed)"
+            # a SIGKILLed run can't clean its tmpfs output; reap it here
+            # (runs are serial, so the glob only matches the dead run's dir)
+            import glob
+
+            for d in glob.glob(f"/dev/shm/rcs_bench_out_{cpus}_*"):
+                shutil.rmtree(d, ignore_errors=True)
+            continue
+        if res.returncode == 0:
+            return json.loads(res.stdout.strip().splitlines()[-1])
+        last_err = res.stderr[-2000:]
+    raise RuntimeError(f"pipeline run failed twice: {last_err}")
 
 
 def _pipeline_only(args) -> None:
