@@ -68,9 +68,14 @@ def token_hashes_col(text: Column) -> Column:
     return F.transform(tokens_col(text), token_hash_col)
 
 
-def shingles3_col(text: Column) -> Column:
-    """3-word shingles joined by single spaces; [] when under 3 tokens."""
-    toks = tokens_col(text)
+def shingles3_from_tokens(toks: Column) -> Column:
+    """3-word shingles from a token array; [] when under 3 tokens.
+
+    The transform lambda references ``toks`` once per shingle index, so
+    ``toks`` MUST be a materialized attribute (operators/dedup._materialize)
+    on hot paths — passing the deep tokenize expression here re-evaluates
+    the whole regex split per shingle (quadratic in tokens; measured 3.1 s
+    vs 0.2 s for the sf0.1 documents table)."""
     n = F.size(toks)
     return F.when(
         n >= 3,
@@ -79,6 +84,12 @@ def shingles3_col(text: Column) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles3_col(text: Column) -> Column:
+    """3-word shingles of raw text — convenience form for small inputs;
+    hot paths materialize tokens first (see shingles3_from_tokens)."""
+    return shingles3_from_tokens(tokens_col(text))
 
 
 def shingle_hashes_col(text: Column) -> Column:

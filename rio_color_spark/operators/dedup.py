@@ -12,6 +12,9 @@ All four families over a generic (id, text) DataFrame:
 
 Every hash primitive comes from functions/texthash.py and has a DuckDB
 twin, so the driver's oracle comparison covers these operators exactly.
+All hashing runs JVM-side (md5 + conv Column expressions over a
+Generate-materialized hash array) — there are no Python crossings in this
+module's execution paths; the NumPy functions below are test-only twins.
 """
 
 from __future__ import annotations
@@ -20,10 +23,8 @@ import hashlib
 import re
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from rio_color_spark.functions import texthash as TH
 
@@ -47,18 +48,22 @@ def _sig_from_shingles(sh: list[str]) -> list[int]:
 
 
 def _minhash_sig_py(text: str) -> list[int]:
-    """NumPy MinHash signature — same algorithm as texthash.minhash_col.
+    """NumPy MinHash reference twin of the JVM Column formulation.
 
     Token/shingle/hash definitions mirror the Column builders exactly:
     whitespace split of trimmed lowercased text, 3-word shingles, first 8
-    md5 hex chars as the element hash.
+    md5 hex chars as the element hash. Kept (with _simhash_py) as an
+    engine-independent cross-check — tests assert the JVM operators match
+    it value-for-value; it is NOT on any execution path.
     """
     return _sig_from_shingles(_shingles_py(text))
 
 
 def _simhash_py(text: str) -> int:
-    """32-bit majority SimHash — same algorithm as texthash.simhash_col."""
-    toks = _WS.split(text.strip().lower())
+    """32-bit majority SimHash reference twin (see _minhash_sig_py)."""
+    # strip(" ") not strip(): Spark/DuckDB `trim` removes ONLY spaces,
+    # and the oracle contract is trim(lower(text))
+    toks = _WS.split(text.lower().strip(" "))
     hs = np.array(
         [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) for t in toks],
         dtype=np.int64,
@@ -69,38 +74,44 @@ def _simhash_py(text: str) -> int:
     return int((maj.astype(np.int64) << np.arange(TH.SIMHASH_BITS)).sum())
 
 
-def simhash_udf():
-    @pandas_udf("long")
-    def _u(texts: pd.Series) -> pd.Series:
-        return texts.map(_simhash_py)
-
-    return _u
-
-
-def minhash_sig_udf():
-    # built lazily: pandas_udf parses its DDL type against the active session
-    @pandas_udf("array<long>")
-    def _u(texts: pd.Series) -> pd.Series:
-        return texts.map(_minhash_sig_py)
-
-    return _u
-
-
 def _shingles_py(text: str) -> list[str]:
-    toks = _WS.split(text.strip().lower())
+    # strip(" ") not strip(): Spark/DuckDB `trim` removes ONLY spaces,
+    # and the oracle contract is trim(lower(text))
+    toks = _WS.split(text.lower().strip(" "))
     return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
 
 
-def shingles_and_sig_udf():
-    """One Arrow pass computing both the shingle set and the MinHash sig."""
+def _materialize(df: DataFrame, cols: dict) -> DataFrame:
+    """Append computed columns behind a Generate barrier.
 
-    @pandas_udf("struct<sh: array<string>, sig: array<long>>")
-    def _u(texts: pd.Series) -> pd.DataFrame:
-        sh = texts.map(_shingles_py)
-        sig = sh.map(_sig_from_shingles)  # derive from the SAME shingles
-        return pd.DataFrame({"sh": sh, "sig": sig})
+    ``explode`` of a single-element array is a per-row no-op, but the
+    Generate node it plans blocks ``CollapseProject``: downstream
+    projections reference the computed values as plain attributes instead
+    of inlining the defining expressions once per reference. That is what
+    makes the JVM MinHash/SimHash formulation viable — the 16 (or 32)
+    per-hash Column expressions each read a materialized ``array<long>``
+    attribute rather than re-evaluating the deep tokenize→md5 pipeline
+    (the round-2 codegen blowup: 55.8 s for 500 rows when inlined 16×).
+    """
+    m = F.explode(F.array(F.struct(*[c.alias(n) for n, c in cols.items()])))
+    out = df.select("*", m.alias("_m"))
+    return out.select("*", *[F.col(f"_m.{n}").alias(n) for n in cols]).drop("_m")
 
-    return _u
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism guard for heavy per-row map stages.
+
+    A scan that planned fewer splits than the session's shuffle parallelism
+    (e.g. a single-file table in local tests — parquet can't split below a
+    file) is re-spread with a round-robin repartition so the tokenize/hash
+    map stage uses every core. A well-split table — the 100-TB case, where
+    the scan plans thousands of splits — passes through untouched: no
+    shuffle is ever added at scale.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -120,22 +131,28 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach mh0..mh15 MinHash signature columns.
+    """Attach mh0..mh15 MinHash signature columns — pure JVM, no Python.
 
-    The signature is computed in ONE Arrow-vectorized UDF call per batch —
-    building it from 16 Column HOF trees instead makes Catalyst's
-    projection collapse inline the (deep) shingle pipeline 16×, which
-    explodes codegen time; the UDF is extracted into a single
-    ArrowEvalPython node evaluated once.
+    The shingle hashes (tokenize → 3-shingle → md5-prefix int64) are
+    materialized ONCE behind a Generate barrier; the 16 per-hash Column
+    expressions then scan that shallow ``array<long>`` attribute. This
+    keeps the whole signature inside the JVM (zero Python crossings) while
+    avoiding the 16×-inlined-pipeline codegen blowup that sank the naive
+    Column formulation in round 2 (see _materialize).
     """
-    sig = df.withColumn("_mhsig", minhash_sig_udf()(F.col(text_col)))
-    return sig.select(
+    base = _materialize(_spread(df), {"_toks": TH.tokens_col(F.col(text_col))})
+    base = _materialize(
+        base,
+        {
+            "_shh": F.transform(
+                TH.shingles3_from_tokens(F.col("_toks")), TH.token_hash_col
+            )
+        },
+    )
+    return base.select(
         "*",
-        *[
-            F.element_at(F.col("_mhsig"), j + 1).alias(f"mh{j}")
-            for j in range(TH.N_MINHASH)
-        ],
-    ).drop("_mhsig")
+        *[TH.minhash_col(F.col("_shh"), j).alias(f"mh{j}") for j in range(TH.N_MINHASH)],
+    ).drop("_toks", "_shh")
 
 
 def minhash_lsh_pairs(
@@ -150,29 +167,35 @@ def minhash_lsh_pairs(
 
     Plan shape (100-TB discipline — the shuffles carry NO payload):
 
-    1. ONE Arrow pass computes shingles + signature per document.
+    1. Shingles, then their md5-prefix hashes, are materialized behind
+       Generate barriers (all JVM — zero Python crossings; see
+       _materialize for why the barrier and not a plain projection).
     2. Bands come from ``posexplode`` of the per-band signature array and
        carry ONLY (id, band, band_sig) — the shingle arrays never enter
        the band exchange (they used to dominate it: each document's full
        shingle set was shuffled once per band per side).
     3. Candidates dedupe on the narrow (id_a, id_b).
     4. Shingles are fetched by joining the surviving candidate ids back to
-       the enriched table — a recompute of the map-side Arrow pass, which
-       at scale is far cheaper than shuffling every shingle array 2×4
-       bands wide (and with an Iceberg/persisted enriched table it is a
-       plain column read).
+       the pre-hash shingle table — a recompute of the map-side tokenize
+       (NOT the md5 pass), which at scale is far cheaper than shuffling
+       every shingle array 2×4 bands wide (and with an Iceberg/persisted
+       enriched table it is a plain column read).
     """
-    enriched = df.select(
-        F.col(id_col).alias("id"),
-        shingles_and_sig_udf()(F.col(text_col)).alias("m"),
-    ).select("id", F.col("m.sh").alias("shingles"), F.col("m.sig").alias("sig"))
+    toked = _materialize(
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))),
+        {"_toks": TH.tokens_col(F.col("_text"))},
+    )
+    sh_expr = TH.shingles3_from_tokens(F.col("_toks"))
+    enriched = _materialize(
+        toked, {"_shh": F.transform(sh_expr, TH.token_hash_col)}
+    ).select("id", "_shh")
 
     band_sigs = F.array(
         *[
             F.concat_ws(
                 "-",
                 *[
-                    F.element_at(F.col("sig"), b * TH.LSH_ROWS + r + 1)
+                    TH.minhash_col(F.col("_shh"), b * TH.LSH_ROWS + r)
                     for r in range(TH.LSH_ROWS)
                 ],
             )
@@ -192,8 +215,10 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    sh_a = enriched.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = enriched.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # refetch recomputes shingles from the materialized token attribute —
+    # a linear rebuild, no md5 pass, and no shingle payload in the band join
+    sh_a = toked.select(F.col("id").alias("id_a"), sh_expr.alias("sh_a"))
+    sh_b = toked.select(F.col("id").alias("id_b"), sh_expr.alias("sh_b"))
     pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
 
     inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
@@ -213,13 +238,15 @@ def minhash_lsh_pairs(
 def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) — 32-bit majority-vote fingerprint per document.
 
-    One Arrow UDF call per batch (the 32 Column-HOF formulation in
-    texthash.simhash_col is kept as the cross-checked reference but costs
-    32 passes over the token array in codegen)."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        simhash_udf()(F.col(text_col)).alias("simhash"),
+    Pure JVM: token hashes are materialized once behind a Generate barrier
+    (see _materialize), then texthash.simhash_col's 32 bit-count passes
+    scan the shallow ``array<long>`` attribute — cheap array traversals,
+    not 32 re-evaluations of the tokenize→md5 pipeline."""
+    base = _materialize(
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))),
+        {"_th": TH.token_hashes_col(F.col("_text"))},
     )
+    return base.select("id", TH.simhash_col(F.col("_th")).alias("simhash"))
 
 
 def simhash_neardups(
@@ -238,15 +265,16 @@ def simhash_neardups(
     wanting guaranteed radius r need ceil(32/(r+1))-bit bands.
     """
     sim = with_simhash(df, id_col, text_col)
-    bands = None
-    for b in range(4):
-        part = sim.select(
-            "id",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(0xFF)).alias("band_val"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # one explode instead of a 4-way self-union: the fingerprint subtree is
+    # evaluated once per document, not once per band replica
+    bands = sim.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr("shiftright(simhash, band * 8)").bitwiseAND(F.lit(0xFF)),
+    )
 
     left = bands.select(
         "band", "band_val", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")
@@ -278,10 +306,19 @@ def ngram_jaccard_pairs(
     """
     if group_col is None:
         return minhash_lsh_pairs(df, id_col, text_col, threshold)
-    base = df.select(
-        F.col(group_col).alias("grp"),
-        F.col(id_col).alias("id"),
-        F.array_distinct(TH.shingles3_col(F.col(text_col))).alias("sh"),
+    base = _materialize(
+        _spread(
+            df.select(
+                F.col(group_col).alias("grp"),
+                F.col(id_col).alias("id"),
+                F.col(text_col).alias("_text"),
+            )
+        ),
+        {"_toks": TH.tokens_col(F.col("_text"))},
+    ).select(
+        "grp",
+        "id",
+        F.array_distinct(TH.shingles3_from_tokens(F.col("_toks"))).alias("sh"),
     )
     left = base.select("grp", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     right = base.select("grp", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -108,3 +108,41 @@ def test_simhash_neardups_default_radius_is_guaranteed(docs):
     """Default max_hamming equals the 4-band pigeonhole guarantee (3)."""
     out = DD.simhash_neardups(docs)
     assert out.filter(F.col("hamming") > 3).count() == 0
+
+
+def test_jvm_hashing_matches_python_twins(spark):
+    """The JVM Column MinHash/SimHash (the execution path — zero Python
+    crossings) matches the NumPy reference twins value-for-value, including
+    the whitespace edge cases where Python .strip() and SQL trim diverge
+    (trim removes ONLY spaces — the oracle contract)."""
+    rows = [
+        (0, ""),
+        (1, "  one two  "),
+        (2, "a b c d e f g"),
+        (3, "\tx\ny z  w "),
+        (4, "Ünïcode tökens ärê fine too yes indeed truly"),
+        (5, " \t "),
+        (6, "solo"),
+        (7, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = {r["doc_id"]: [r[f"mh{j}"] for j in range(16)] for r in DD.with_minhash(df).collect()}
+    for i, t in rows:
+        assert mh[i] == DD._minhash_sig_py(t), (i, t)
+    sh = {r["id"]: r["simhash"] for r in DD.with_simhash(df).collect()}
+    for i, t in rows:
+        assert sh[i] == DD._simhash_py(t), (i, t)
+
+
+def test_dedup_paths_have_no_python_stage(docs):
+    """No Arrow/BatchEvalPython node anywhere in the dedup family — the
+    hashing is entirely JVM-side (verdict r3 item 1)."""
+    for out in (
+        DD.with_minhash(docs),
+        DD.with_simhash(docs),
+        DD.minhash_lsh_pairs(docs, jaccard_threshold=0.0),
+        DD.simhash_neardups(docs),
+        DD.ngram_jaccard_pairs(docs.withColumn("grp", F.col("doc_id") % 5), group_col="grp"),
+    ):
+        plan = _plan(out)
+        assert "EvalPython" not in plan, plan[:2000]
