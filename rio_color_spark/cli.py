@@ -105,6 +105,24 @@ def _build_parser() -> argparse.ArgumentParser:
     a.add_argument("src_path")
     a.add_argument("dst_path")
     common["jobs"](a)
+
+    o = sub.add_parser(
+        "optimize",
+        help="Anneal a color formula making SRC's histogram match REF's "
+        "(reference scripts/optimize_color.py:193-240)",
+    )
+    o.add_argument("src_path", help="parquet images table to color-correct")
+    o.add_argument("ref_path", help="parquet images table with the target look")
+    o.add_argument("--steps", type=int, default=500, help="annealing steps")
+    o.add_argument("--seed", type=int, default=0, help="deterministic seed")
+    o.add_argument(
+        "--max-pixels",
+        type=int,
+        default=250_000,
+        help="driver-side sample budget (the analogue of the reference's "
+        "--downsample option — bounds what leaves the cluster)",
+    )
+    common["jobs"](o)
     return p
 
 
@@ -152,6 +170,37 @@ def main(argv: list[str] | None = None) -> int:
         jobs = check_jobs(args.jobs, parser)
         _run(args.src_path, args.dst_path, ops, args.out_dtype, jobs,
              _co_pairs(args.co, parser))
+        return 0
+
+    if args.command == "optimize":
+        from pyspark import SparkConf
+        from pyspark.sql import SparkSession
+
+        from rio_color_spark.operators.optimize import optimize_color
+        from rio_color_spark.session import get_spark
+
+        jobs = check_jobs(args.jobs, parser)
+        owned = SparkSession.getActiveSession() is None
+        configured = SparkConf().get("spark.master", None)
+        spark = get_spark(
+            "rio-color-spark-cli", master=configured or f"local[{jobs}]"
+        )
+        try:
+            res = optimize_color(
+                spark.read.parquet(args.src_path),
+                spark.read.parquet(args.ref_path),
+                steps=args.steps,
+                seed=args.seed,
+                max_pixels=args.max_pixels,
+            )
+        finally:
+            if owned:
+                spark.stop()
+        # reference progress_report prints best cmd + scores
+        # (scripts/optimize_color.py:29-47); final echo shape mirrors it
+        print(f"rio color src dst {res['ops']}")
+        print(f"score: {res['score']:.6f}")
+        print(f"initial_score: {res['initial_score']:.6f}")
         return 0
 
     # atmos

@@ -37,6 +37,29 @@ def scale_dtype(arr: np.ndarray, dtype) -> np.ndarray:
     return (arr * np.iinfo(dtype).max).astype(dtype)
 
 
+def psnr(a: np.ndarray, b: np.ndarray, peak: float | None = None) -> float:
+    """Peak signal-to-noise ratio in dB between two same-shape images.
+
+    The BASELINE gate is "golden pass at PSNR ≥ 40 dB on decoded pixels"
+    (BASELINE.json metric; SURVEY.md §7a). With today's lossless npy8/npy16
+    codecs engine output is bit-exact and this returns ``inf`` — the gate
+    exists so any future LOSSY codec keeps an objective quality floor.
+
+    ``peak`` defaults to the dtype max for integer arrays and 1.0 for the
+    [0, 1] float math domain. Identical inputs → ``inf``.
+    """
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
+    if peak is None:
+        peak = float(np.iinfo(a.dtype).max) if a.dtype.kind in "iu" else 1.0
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return float(10.0 * np.log10(peak * peak / mse))
+
+
 # -- ImageMagick `convert` option translation --------------------------------
 
 _SPLIT_ARGS = re.compile(r"[,x]+")

@@ -298,14 +298,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     group_col: str | None = None,
     threshold: float = 0.1,
+    max_group: int = 10_000,
 ) -> DataFrame:
     """Exact 3-gram Jaccard for pairs within a blocking group.
 
     ``group_col`` bounds the pair space (block join); None falls back to the
     LSH candidate pairs. Output: (id_a, id_b, jaccard).
+
+    **Blocked-join contract**: within-group pairing is O(g²), so a hot
+    blocking key is a scale-killer (10⁶-doc group → 5·10¹¹ pairs). The
+    plan embeds a fail-fast bound: any group larger than ``max_group``
+    raises inside the tasks (``raise_error`` woven into the join key, so
+    column pruning can't drop it) instead of silently grinding. Callers
+    with genuinely hot groups should sub-block them (e.g. route through
+    the LSH path) or consciously raise ``max_group``.
     """
     if group_col is None:
         return minhash_lsh_pairs(df, id_col, text_col, threshold)
+    from pyspark.sql import Window
     base = _materialize(
         _spread(
             df.select(
@@ -320,6 +330,24 @@ def ngram_jaccard_pairs(
         "id",
         F.array_distinct(TH.shingles3_from_tokens(F.col("_toks"))).alias("sh"),
     )
+    # fail-fast group-size guard: the window count shares the grp-keyed
+    # exchange the self-join needs anyway; the guard rides the id column so
+    # it cannot be pruned out of the executed plan
+    gn = F.count("*").over(Window.partitionBy("grp"))
+    guarded_id = F.when(
+        gn > F.lit(max_group),
+        F.raise_error(
+            F.concat(
+                F.lit("ngram_jaccard_pairs: blocking group "),
+                F.col("grp").cast("string"),
+                F.lit(
+                    f" exceeds max_group={max_group} (within-group pairing is "
+                    "O(g^2)); sub-block the group or raise max_group"
+                ),
+            )
+        ).cast(base.schema["id"].dataType),
+    ).otherwise(F.col("id"))
+    base = base.select("grp", guarded_id.alias("id"), "sh")
     left = base.select("grp", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     right = base.select("grp", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

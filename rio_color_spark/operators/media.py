@@ -149,41 +149,89 @@ def sample_frames(df: DataFrame, every_k: int = 1) -> DataFrame:
     if every_k < 1:
         raise ValueError("every_k must be >= 1")
 
+    cols = ["image_id", "frame", "bytes", "w", "h", "fmt"]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                if r.fmt in _VIDEO_FMTS:
-                    raise NotImplementedError(
-                        f"video codec {r.fmt!r} requires a decoder library "
-                        "not present in this environment"
+            fmts = pdf["fmt"].to_numpy()
+            bad = sorted(set(fmts.tolist()) & _VIDEO_FMTS)
+            if bad:
+                raise NotImplementedError(
+                    f"video codec {bad[0]!r} requires a decoder library "
+                    "not present in this environment"
+                )
+            parts = []
+            is_seq = np.array([f in _SEQ_FMTS for f in fmts.tolist()], dtype=bool)
+
+            stills = pdf[~is_seq] if is_seq.any() else pdf
+            if len(stills):
+                # stills are 1-frame clips; frame 0 is always sampled
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": stills["image_id"].to_numpy(),
+                            "frame": np.zeros(len(stills), dtype=np.int32),
+                            "bytes": stills["bytes"].to_numpy(),
+                            "w": stills["w"].to_numpy(),
+                            "h": stills["h"].to_numpy(),
+                            "fmt": stills["fmt"].to_numpy(),
+                        }
                     )
-                if r.fmt in _SEQ_FMTS:
-                    still_fmt = _SEQ_FMTS[r.fmt]
+                )
+
+            seq = pdf[is_seq]
+            if len(seq):
+                hs = seq["h"].to_numpy()
+                ws = seq["w"].to_numpy()
+                sf = seq["fmt"].to_numpy()
+                ids = seq["image_id"].to_numpy()
+                bufs = seq["bytes"].to_numpy()
+                blens = np.array([len(b) for b in bufs], dtype=np.int64)
+                # (h, w, fmt, payload_len) groups share a frame count, so the
+                # whole group stacks into ONE (B, F, C, h, w) array and the
+                # frame stride is a single NumPy slice — same shape-grouped
+                # pattern as _group_stack, extended by the frame axis
+                for key in sorted(
+                    set(zip(hs.tolist(), ws.tolist(), sf.tolist(), blens.tolist()))
+                ):
+                    h, w, fmt, bl = key
+                    still_fmt = _SEQ_FMTS[fmt]
                     info = codec.format_info(still_fmt)
-                    fsize = info.bands * r.h * r.w * info.dtype.itemsize
-                    if fsize == 0 or len(r.bytes) % fsize:
+                    fsize = info.bands * h * w * info.dtype.itemsize
+                    if fsize == 0 or bl % fsize:
                         raise ValueError(
-                            f"clip payload {len(r.bytes)} not a multiple of "
-                            f"frame size {fsize}"
+                            f"clip payload {bl} not a multiple of frame size {fsize}"
                         )
-                    n_frames = len(r.bytes) // fsize
-                    for f in range(0, n_frames, every_k):
-                        rows.append(
-                            (
-                                r.image_id,
-                                f,
-                                r.bytes[f * fsize : (f + 1) * fsize],
-                                r.w,
-                                r.h,
-                                still_fmt,
-                            )
+                    n_frames = bl // fsize
+                    sel = np.nonzero(
+                        (hs == h) & (ws == w) & (sf == fmt) & (blens == bl)
+                    )[0]
+                    flat = np.frombuffer(
+                        b"".join(bufs[i] for i in sel), dtype=info.dtype
+                    )
+                    clips = flat.reshape(len(sel), n_frames, info.bands, h, w)
+                    fr = np.arange(0, n_frames, every_k)
+                    sampled = np.ascontiguousarray(clips[:, fr])
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "image_id": np.repeat(ids[sel], len(fr)),
+                                "frame": np.tile(fr, len(sel)).astype(np.int32),
+                                "bytes": [
+                                    sampled[b, s].tobytes()
+                                    for b in range(len(sel))
+                                    for s in range(len(fr))
+                                ],
+                                "w": np.int32(w),
+                                "h": np.int32(h),
+                                "fmt": still_fmt,
+                            }
                         )
-                else:
-                    # stills are 1-frame clips; frame 0 is always sampled
-                    rows.append((r.image_id, 0, r.bytes, r.w, r.h, r.fmt))
-            yield pd.DataFrame(
-                rows, columns=["image_id", "frame", "bytes", "w", "h", "fmt"]
+                    )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(columns=cols)
             )
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -136,7 +136,15 @@ def sample_pixels(
     contributes a ceil-strided slice of ≤ per_image pixels (ceil, not
     floor: a floor stride overshoots the budget by up to 2×). Pass
     ``n_rows`` when the caller already knows the count (e.g. from a
-    checkpoint manifest) to skip the extra counting scan."""
+    checkpoint manifest) to skip the extra counting scan.
+
+    When the stride exceeds 1 each image starts its strided walk at a
+    deterministic per-image offset (crc32 of the id, mod stride) instead
+    of pixel 0 — with per_image == 1 a zero offset would make every image
+    contribute exactly its top-left corner, a spatially biased sample for
+    real imagery (vignetting/border artifacts; ADVICE r3)."""
+    import zlib
+
     from rio_color_spark.operators.media import _group_stack
 
     if n_rows is None:
@@ -152,14 +160,30 @@ def sample_pixels(
 
     def pick(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ids = pdf["image_id"].to_numpy()
             out = []
-            for _sel, arr, h, w, fmt in _group_stack(pdf):
+            for sel, arr, h, w, fmt in _group_stack(pdf):
                 info = codec.format_info(fmt)
                 scaled = arr[:, :3].astype(np.float64) / np.iinfo(info.dtype).max
                 flat = scaled.reshape(len(scaled), 3, h * w)
                 # ceil stride: ceil(npix/stride) <= per_image, never over
                 stride = -(-(h * w) // per_image) if per_image < h * w else 1
-                picked = flat[:, :, ::stride]  # (B, 3, <=per_image)
+                if stride == 1:
+                    picked = flat  # every pixel — no offset needed
+                else:
+                    offs = np.array(
+                        [zlib.crc32(str(s).encode()) % stride for s in ids[sel]],
+                        dtype=np.int64,
+                    )
+                    n_keep = min(per_image, h * w)
+                    idx = (
+                        offs[:, None] + stride * np.arange(n_keep)[None, :]
+                    ) % (h * w)  # (B, n_keep), varied spatial positions
+                    picked = flat[
+                        np.arange(len(sel))[:, None, None],
+                        np.arange(3)[None, :, None],
+                        idx[:, None, :],
+                    ]
                 out.append(picked.transpose(1, 0, 2).reshape(3, -1))
             s = np.concatenate(out, axis=1) if out else np.zeros((3, 0))
             yield pd.DataFrame({"r": s[0], "g": s[1], "b": s[2]})

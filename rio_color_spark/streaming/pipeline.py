@@ -98,33 +98,49 @@ def drain_windowed_agg(
     merge to the same totals the batch plan computes).
     """
     import os
+    import shutil
     import tempfile
     import uuid
 
     schema = spark.read.parquet(events_path).schema  # footer read, no job
+    src_dir = None
     if os.path.isfile(events_path):
         # FileStreamSource requires a directory basePath; expose a single
         # parquet FILE through a symlink dir (zero copy)
-        d = tempfile.mkdtemp(prefix="rcs_drain_src_")
-        os.symlink(os.path.abspath(events_path), os.path.join(d, "part-0.parquet"))
-        events_path = d
-    stream = spark.readStream.schema(schema).parquet(events_path)
-    agg = stream.groupBy(
-        F.window(F.col("ts"), window).alias("win"), F.col("event_type")
-    ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        src_dir = tempfile.mkdtemp(prefix="rcs_drain_src_")
+        os.symlink(os.path.abspath(events_path), os.path.join(src_dir, "part-0.parquet"))
+        events_path = src_dir
+    ckpt_dir = tempfile.mkdtemp(prefix="rcs_drain_ckpt_")
     name = "drain_" + uuid.uuid4().hex[:10]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="rcs_drain_ckpt_")
+    try:
+        stream = spark.readStream.schema(schema).parquet(events_path)
+        agg = stream.groupBy(
+            F.window(F.col("ts"), window).alias("win"), F.col("event_type")
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()  # idempotent for a terminated availableNow query
+        # materialize off the memory sink so the temp view (which pins the
+        # full complete-mode result in driver memory) can be dropped and
+        # the checkpoint/symlink dirs removed before returning (ADVICE r3)
+        out = spark.createDataFrame(
+            spark.table(name).collect(), schema=spark.table(name).schema
+        )
+        return out
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        if src_dir is not None:
+            shutil.rmtree(src_dir, ignore_errors=True)
 
 
 _STATE_SCHEMA = "total long"

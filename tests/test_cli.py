@@ -100,3 +100,23 @@ def test_check_jobs_branches():
     with pytest.raises(SystemExit) as e:
         check_jobs(0, parser)
     assert e.value.code == 2
+
+
+def test_optimize_cli_golden(spark, tmp_path, capsys):
+    """`optimize` subcommand (reference scripts/optimize_color.py:193-240)
+    reproduces the seed-0 pinned golden of the optimize_color oracle gate
+    (__spark_entry__.OPTIMIZE_GOLDEN) from parquet tables."""
+    from __spark_entry__ import OPTIMIZE_GOLDEN
+
+    imgs = images_df(spark, 120)
+    src = str(tmp_path / "opt_src")
+    ref = str(tmp_path / "opt_ref")
+    imgs.filter("phash % 2 == 0").write.parquet(src)
+    imgs.filter("phash % 2 != 0").write.parquet(ref)
+
+    assert main(["optimize", src, ref, "--steps", "40", "--seed", "0",
+                 "--max-pixels", "100000", "-j", "4"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == f"rio color src dst {OPTIMIZE_GOLDEN['ops']}"
+    assert out[1] == f"score: {OPTIMIZE_GOLDEN['score']:.6f}"
+    assert out[2] == f"initial_score: {OPTIMIZE_GOLDEN['initial_score']:.6f}"

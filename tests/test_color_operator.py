@@ -108,3 +108,45 @@ def test_generator_deterministic_across_partitioning(spark):
     key = lambda r: r["image_id"]
     for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
         assert ra == rb
+
+
+def test_flagship_chain_psnr_gate(spark, images):
+    """BASELINE gate: engine output vs reference-formula output at
+    PSNR >= 40 dB on decoded pixels (SURVEY.md §7a). Today's npy* codecs
+    are lossless so the ratio is infinite; the assertion is the objective
+    floor any future lossy codec must still clear."""
+    from rio_color_spark.functions.utils import psnr
+
+    out = {r["image_id"]: r for r in
+           color_correct(images.limit(40), FLAGSHIP_OPS).collect()}
+    src = generate_pandas(np.arange(N_ROWS))
+    checked = 0
+    for _, row in src.iterrows():
+        if row["image_id"] not in out:
+            continue
+        got = out[row["image_id"]]
+        engine = codec.decode(got["bytes"], got["w"], got["h"], got["fmt"])
+        expected = _oracle(row, FLAGSHIP_OPS)
+        assert psnr(engine, expected) >= 40.0, row["image_id"]
+        checked += 1
+    assert checked > 0
+
+
+def test_psnr_properties():
+    """psnr itself: inf on identity, finite + monotone under noise, dtype
+    peak handling, shape mismatch raises."""
+    from rio_color_spark.functions.utils import psnr
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(3, 16, 16), dtype=np.uint8)
+    assert psnr(img, img) == float("inf")
+    small = img.astype(np.int32) + rng.integers(-1, 2, size=img.shape)
+    big = img.astype(np.int32) + rng.integers(-40, 41, size=img.shape)
+    p_small = psnr(img, np.clip(small, 0, 255).astype(np.uint8))
+    p_big = psnr(img, np.clip(big, 0, 255).astype(np.uint8))
+    assert p_small > 40.0 > p_big > 0.0
+    # float [0,1] domain uses peak 1.0
+    f = img.astype(np.float64) / 255.0
+    assert psnr(f, f + 0.001) == pytest.approx(60.0, abs=0.5)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        psnr(img, img[:, :8])

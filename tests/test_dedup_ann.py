@@ -146,3 +146,23 @@ def test_dedup_paths_have_no_python_stage(docs):
     ):
         plan = _plan(out)
         assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_ngram_jaccard_hot_group_fails_fast(spark, docs):
+    """The blocked-join contract: a group over max_group raises inside the
+    plan instead of silently running O(g^2) pairing; bounded groups pass
+    and the guard does not change results."""
+    blocked = docs.withColumn("grp", F.lit("hot"))
+    with pytest.raises(Exception, match="exceeds max_group"):
+        DD.ngram_jaccard_pairs(blocked, group_col="grp", max_group=10).collect()
+
+    fine = docs.withColumn("grp", F.col("doc_id") % 7)
+    a = sorted(
+        map(tuple, DD.ngram_jaccard_pairs(fine, group_col="grp", max_group=10_000)
+            .collect())
+    )
+    b = sorted(
+        map(tuple, DD.ngram_jaccard_pairs(fine, group_col="grp", max_group=60)
+            .collect())
+    )
+    assert a == b and len(a) > 0
