@@ -96,6 +96,21 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_OPEN_COST", "4m"),
         )
         .config("spark.ui.showConsoleProgress", "false")
+        # self-healing for the (rare, local-mode, 1M-scale) wedged-task
+        # hazard: a JVM task thread stuck reading from an idle Python worker
+        # (jstack: ReaderInputStream select, worker ~0% CPU — observed once
+        # sitting 20+ min; BENCH/BASELINE.md round-3 note). With these set,
+        # the read times out, the worker is killed, and Spark RETRIES THE
+        # TASK — a seconds-scale hiccup instead of a killed job. Contract:
+        # every engine kernel produces output per Arrow batch in far under
+        # this timeout (batches are 2048 rows / ~6 MiB; kernels run in ms),
+        # so a genuinely busy worker is never killed. On a 1000-executor
+        # cluster this matters more: some worker somewhere WILL hang.
+        .config(
+            "spark.python.worker.idleTimeoutSeconds",
+            os.environ.get("SPARK_GRAFT_WORKER_IDLE_TIMEOUT", "600"),
+        )
+        .config("spark.python.worker.killOnIdleTimeout", "true")
     )
     # shuffle/spill scratch on tmpfs when available: the sandbox's single
     # virtio disk collapses under concurrent writers (a cluster's shuffle
