@@ -238,15 +238,20 @@ def minhash_lsh_pairs(
 def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) — 32-bit majority-vote fingerprint per document.
 
-    Pure JVM: token hashes are materialized once behind a Generate barrier
-    (see _materialize), then texthash.simhash_col's 32 bit-count passes
-    scan the shallow ``array<long>`` attribute — cheap array traversals,
-    not 32 re-evaluations of the tokenize→md5 pipeline."""
+    Pure JVM: token hashes (and the token count) are materialized once
+    behind a Generate barrier (see _materialize), then the single-pass
+    aggregate fingerprint (texthash.simhash_agg_col) folds them — each
+    hash visited once, not once per bit."""
     base = _materialize(
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))),
-        {"_th": TH.token_hashes_col(F.col("_text"))},
+        {
+            "_th": TH.token_hashes_col(F.col("_text")),
+            "_n": F.size(TH.tokens_col(F.col("_text"))),
+        },
     )
-    return base.select("id", TH.simhash_col(F.col("_th")).alias("simhash"))
+    return base.select(
+        "id", TH.simhash_agg_col(F.col("_th"), F.col("_n")).alias("simhash")
+    )
 
 
 def simhash_neardups(

@@ -166,3 +166,23 @@ def test_ngram_jaccard_hot_group_fails_fast(spark, docs):
             .collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_simhash_agg_equals_reference_column(spark, docs):
+    """The single-pass aggregate SimHash equals the 32-pass reference
+    Column formulation value-for-value on the same token hashes."""
+    from rio_color_spark.functions import texthash as TH
+
+    base = docs.select(
+        "doc_id",
+        TH.token_hashes_col(F.col("text")).alias("th"),
+        F.size(TH.tokens_col(F.col("text"))).alias("n"),
+    )
+    out = base.select(
+        "doc_id",
+        TH.simhash_agg_col(F.col("th"), F.col("n")).alias("one_pass"),
+        TH.simhash_col(F.col("th")).alias("ref"),
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["one_pass"] == r["ref"], r["doc_id"]
