@@ -54,6 +54,42 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 SCALING_LEVELS = (2, 8, 32)
 SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
 
+#: HARD wall-clock budget for the whole bench (seconds). Round 4's
+#: artifact-of-record run timed out (BENCH_r04.json rc=124, parsed null):
+#: the retry-heavy protocol could run ~50+ min worst-case while the
+#: driver's window is ~30. The budget guarantees ONE parsed JSON line
+#: always lands on stdout before the driver's timeout, by shedding work
+#: in a fixed priority order (cheapest-to-lose first):
+#:   1. anomaly-retry windows        (pure re-measurement insurance)
+#:   2. gate-retry windows           (extra (2,8) samples for the 0.8 gate)
+#:   3. per-op runs beyond the first (min-of-3 → min-of-2 → single-shot)
+#:   4. scaling rounds beyond 2      (min-of-5 → min-of-2 per level)
+#: Every shed decision is recorded in the output's "budget.shed" list.
+BENCH_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
+
+#: reserve kept for the scaling block while the per-op section runs —
+#: roughly 2 interleaved rounds at (2, 8, 32) incl. JVM + envelope
+#: overhead, plus the final-margin. Measured clean-window round cost is
+#: ~135 s; congested can triple it.
+SCALING_RESERVE_S = int(os.environ.get("SPARK_GRAFT_SCALING_RESERVE", "700"))
+
+#: seconds held back at the very end for summarize + evidence write + the
+#: stdout line itself.
+FINAL_MARGIN_S = 60
+
+_DEADLINE: float | None = None  # set in main(); None = unbudgeted (subcommands)
+_SHED: list[str] = []
+
+
+def _remaining() -> float:
+    if _DEADLINE is None:
+        return float("inf")
+    return _DEADLINE - time.monotonic()
+
+
+def _shed(msg: str) -> None:
+    _SHED.append(msg)
+
 #: executions per per-operator query; the recorded number is the MIN —
 #: steady-state capacity, consistent with the scaling block's min-of-rounds.
 #: A single-shot number charges the whole first-run expression-compile /
@@ -236,10 +272,17 @@ def pipeline_subprocess(cpus: int, images_path: str, n_images: int) -> dict:
 
     last_err = ""
     for _attempt in range(2):
+        # a wedged run near the deadline must not blow the budget: cap the
+        # per-run timeout at what's left (floor 90 s so a clean run can
+        # still finish and report)
+        run_timeout = RUN_TIMEOUT_S
+        if _DEADLINE is not None:
+            run_timeout = max(90, min(RUN_TIMEOUT_S, int(_remaining() - 30)))
         # start_new_session → the child leads its own process group, so a
         # timeout kill reaps the whole tree (the wedged Spark JVM is a
         # GRANDchild — killing only the python child would leave the JVM
         # running with its heap and stuck worker alongside the retry)
+        t_wall0 = time.monotonic()
         proc = subprocess.Popen(
             cmd,
             stdout=subprocess.PIPE,
@@ -249,7 +292,7 @@ def pipeline_subprocess(cpus: int, images_path: str, n_images: int) -> dict:
             start_new_session=True,
         )
         try:
-            out, err = proc.communicate(timeout=RUN_TIMEOUT_S)
+            out, err = proc.communicate(timeout=run_timeout)
         except subprocess.TimeoutExpired:
             import signal
 
@@ -258,11 +301,17 @@ def pipeline_subprocess(cpus: int, images_path: str, n_images: int) -> dict:
             except (ProcessLookupError, PermissionError):
                 proc.kill()
             proc.communicate()
-            last_err = f"timed out after {RUN_TIMEOUT_S}s (wedged tree killed)"
+            last_err = f"timed out after {run_timeout}s (wedged tree killed)"
             _reap_tmpfs()
+            if _remaining() < 120:
+                break  # no budget left for a retry — fail fast to the caller
             continue
         if proc.returncode == 0:
-            return json.loads(out.strip().splitlines()[-1])
+            r = json.loads(out.strip().splitlines()[-1])
+            # full wall cost of a run incl. JVM start + envelopes — what a
+            # round actually costs the budget (used for shed estimates)
+            r["_wall"] = round(time.monotonic() - t_wall0, 1)
+            return r
         last_err = err[-2000:]
         _reap_tmpfs()
     raise RuntimeError(f"pipeline run failed twice: {last_err}")
@@ -307,14 +356,32 @@ GATE_RETRIES = int(os.environ.get("SPARK_GRAFT_GATE_RETRIES", "3"))
 GATE_RETRY_SLEEP_S = int(os.environ.get("SPARK_GRAFT_GATE_RETRY_SLEEP", "180"))
 
 
+def _round_cost_est(runs: dict[int, list[dict]], levels: tuple[int, ...]) -> float:
+    """Wall cost estimate of ONE more interleaved round at ``levels``:
+    median observed full-run wall (JVM + envelopes included) per level,
+    150 s/level before any observation exists."""
+    est = 0.0
+    for c in levels:
+        walls = sorted(r["_wall"] for r in runs.get(c, []) if r.get("_wall"))
+        est += walls[len(walls) // 2] if walls else 150.0
+    return est
+
+
 def _run_rounds(
     runs: dict[int, list[dict]],
     levels: tuple[int, ...],
     rounds: int,
     img_path: str,
     n_images: int,
+    min_rounds: int = 1,
+    label: str = "scaling",
 ) -> None:
-    for _ in range(rounds):
+    for i in range(rounds):
+        if i >= min_rounds and _remaining() < (
+            _round_cost_est(runs, levels) + FINAL_MARGIN_S
+        ):
+            _shed(f"{label}: stopped after {i}/{rounds} rounds (budget)")
+            return
         for cpus in levels:
             r = pipeline_subprocess(cpus, img_path, n_images)
             r["seconds"] = round(r["seconds"], 3)
@@ -322,7 +389,7 @@ def _run_rounds(
 
 
 def _scaling_block(img_path: str, n_images: int) -> tuple[dict, dict, dict]:
-    """Interleaved pinned runs at each level.
+    """Interleaved pinned runs at each level, under the wall-clock budget.
 
     Returns (compact scaling summary for the stdout line, per-query seconds,
     full evidence record for the side file).
@@ -333,22 +400,59 @@ def _scaling_block(img_path: str, n_images: int) -> tuple[dict, dict, dict]:
     (never discarding any), all published in the evidence file. Rationale:
     the ratio needs BOTH levels to hit a clean window, and this host's
     episodes can cap one level for a whole window's worth of rounds.
+    NOTE (r4 advice): this conditional stopping makes the headline gate
+    value a BEST-WINDOW CAPACITY estimate; the summary therefore also
+    carries ``efficiency_2_to_8_fixed_sample`` computed from the
+    unconditional first window only.
+
+    Budget shedding (priority order, cheapest-to-lose first): an anomaly
+    retry needs the most headroom, a degraded (2-round, 60 s-cooldown)
+    gate retry the least; base-window rounds shrink to min 2 via
+    _run_rounds. Every shed is recorded.
     """
     runs: dict[int, list[dict]] = {c: [] for c in SCALING_LEVELS}
-    _run_rounds(runs, SCALING_LEVELS, SCALING_ROUNDS, img_path, n_images)
+    _run_rounds(
+        runs, SCALING_LEVELS, SCALING_ROUNDS, img_path, n_images,
+        min_rounds=2, label="base window",
+    )
     scaling, per_query, full = _summarize_scaling(runs, n_images)
+    # fixed-sample (unconditional) gate estimate: the base window's value
+    # BEFORE any value-conditioned resampling. Budget shedding above is
+    # value-blind, so this stays an unbiased-stopping summary; everything
+    # after this point conditions on the observed efficiency and the
+    # headline gate value is therefore a best-window CAPACITY estimate.
+    fixed_sample_eff = scaling["efficiency_2_to_8"]
+    scaling["efficiency_2_to_8_fixed_sample"] = fixed_sample_eff
+    scaling["gate_estimator"] = "best-window capacity (conditional resampling)"
     retries = 0
     while scaling["efficiency_2_to_8"] < 0.8 and retries < GATE_RETRIES:
+        sleep_s, rounds28 = GATE_RETRY_SLEEP_S, SCALING_ROUNDS
+        if _remaining() < (
+            sleep_s + rounds28 * _round_cost_est(runs, (2, 8)) + FINAL_MARGIN_S
+        ):
+            # degraded retry window: short cooldown, 2 rounds
+            sleep_s, rounds28 = 60, 2
+            if _remaining() < (
+                sleep_s + rounds28 * _round_cost_est(runs, (2, 8)) + FINAL_MARGIN_S
+            ):
+                _shed(f"gate retries shed at {retries}/{GATE_RETRIES} (budget)")
+                break
+            _shed(f"gate retry {retries + 1} degraded to 2 rounds/60s cooldown")
         retries += 1
-        time.sleep(GATE_RETRY_SLEEP_S)
-        _run_rounds(runs, (2, 8), SCALING_ROUNDS, img_path, n_images)
+        time.sleep(sleep_s)
+        _run_rounds(
+            runs, (2, 8), rounds28, img_path, n_images,
+            min_rounds=1, label=f"gate retry {retries}",
+        )
         scaling, per_query, full = _summarize_scaling(runs, n_images)
     scaling["gate_retry_windows"] = retries
     # monotonic-rate sanity: 4x the cores measuring SLOWER than the smaller
     # level is physically impossible for this engine (measured 6.4 s at
     # local[32] vs 9.8 s at local[8] in clean windows) — when a whole
     # level's best-of-N still inverts the ordering, every one of its runs
-    # hit a noisy-neighbor episode; re-measure that level after a cooldown
+    # hit a noisy-neighbor episode; re-measure that level after a cooldown.
+    # FIRST to shed under budget (insurance, not a gate): requires an extra
+    # 120 s of headroom beyond what a gate retry would.
     anomaly_retries = 0
     while anomaly_retries < GATE_RETRIES:
         best = {c: min(r["seconds"] for r in runs[c]) for c in SCALING_LEVELS}
@@ -359,12 +463,26 @@ def _scaling_block(img_path: str, n_images: int) -> tuple[dict, dict, dict]:
         ]
         if not inverted:
             break
+        rounds_a = max(2, SCALING_ROUNDS - 2)
+        if _remaining() < (
+            GATE_RETRY_SLEEP_S
+            + rounds_a * _round_cost_est(runs, tuple(inverted))
+            + FINAL_MARGIN_S
+            + 120
+        ):
+            _shed(f"anomaly retries shed (budget); inverted levels {inverted}")
+            break
         anomaly_retries += 1
         time.sleep(GATE_RETRY_SLEEP_S)
-        _run_rounds(runs, tuple(inverted), max(2, SCALING_ROUNDS - 2), img_path, n_images)
+        _run_rounds(
+            runs, tuple(inverted), rounds_a, img_path, n_images,
+            min_rounds=1, label=f"anomaly retry {anomaly_retries}",
+        )
         scaling, per_query, full = _summarize_scaling(runs, n_images)
         scaling["gate_retry_windows"] = retries
     scaling["anomaly_retry_windows"] = anomaly_retries
+    scaling["efficiency_2_to_8_fixed_sample"] = fixed_sample_eff
+    scaling["gate_estimator"] = "best-window capacity (conditional resampling)"
     return scaling, per_query, full
 
 
@@ -420,6 +538,7 @@ def _summarize_scaling(
 
 
 def main() -> None:
+    global _DEADLINE
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--pin", action="store_true")
@@ -432,6 +551,10 @@ def main() -> None:
     if args.pipeline_only:
         _pipeline_only(args)
         return
+
+    # the whole-bench budget clock starts here (subcommands stay unbudgeted:
+    # they run inside a parent bench's budget already)
+    _DEADLINE = time.monotonic() + BENCH_BUDGET_S
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as E
@@ -459,7 +582,12 @@ def main() -> None:
     per_query: dict[str, float] = {"generate_images": round(t_generate, 3)}
     for name in BENCH_QUERIES:
         ts = []
-        for _ in range(PER_OP_RUNS):
+        for i in range(PER_OP_RUNS):
+            # budget shed priority 3: every op runs ONCE; extra min-of-N
+            # runs go first when the scaling reserve is at risk
+            if i > 0 and _remaining() < SCALING_RESERVE_S + FINAL_MARGIN_S:
+                _shed(f"per-op {name}: {i}/{PER_OP_RUNS} runs (budget)")
+                break
             t0 = time.perf_counter()
             # noop sink: full distributed execution, no driver collect tax
             qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
@@ -500,6 +628,11 @@ def main() -> None:
         "images_n": n_images,
         "images_per_sec": images_per_sec,
         "scaling": scaling,
+        "budget": {
+            "budget_s": BENCH_BUDGET_S,
+            "used_s": round(time.perf_counter() - total0, 1),
+            "shed": _SHED,
+        },
     }
     try:
         os.makedirs(os.path.dirname(FULL_RECORD_PATH), exist_ok=True)

@@ -170,21 +170,30 @@ def sample_pixels(
                 stride = -(-(h * w) // per_image) if per_image < h * w else 1
                 if stride == 1:
                     picked = flat  # every pixel — no offset needed
+                    out.append(picked.transpose(1, 0, 2).reshape(3, -1))
                 else:
                     offs = np.array(
                         [zlib.crc32(str(s).encode()) % stride for s in ids[sel]],
                         dtype=np.int64,
                     )
                     n_keep = min(per_image, h * w)
-                    idx = (
-                        offs[:, None] + stride * np.arange(n_keep)[None, :]
-                    ) % (h * w)  # (B, n_keep), varied spatial positions
+                    # strided walk from each image's offset, CLAMPED — not
+                    # wrapped: when stride divides h*w a wrapped index lands
+                    # exactly on an earlier pick (e.g. h*w=12, stride=3,
+                    # off=0 → pixel 0 twice), silently shrinking the
+                    # distinct sample. Rows contribute ceil((h*w-off)/stride)
+                    # pixels each; the flat concat below doesn't need
+                    # rectangular rows.
+                    idx = offs[:, None] + stride * np.arange(n_keep)[None, :]
+                    valid = idx < h * w  # (B, n_keep)
                     picked = flat[
                         np.arange(len(sel))[:, None, None],
                         np.arange(3)[None, :, None],
-                        idx[:, None, :],
+                        np.minimum(idx, h * w - 1)[:, None, :],
                     ]
-                out.append(picked.transpose(1, 0, 2).reshape(3, -1))
+                    # (B, 3, n_keep) → (3, B, n_keep), then mask the
+                    # clamped tail per row → (3, n_valid)
+                    out.append(picked.transpose(1, 0, 2)[:, valid])
             s = np.concatenate(out, axis=1) if out else np.zeros((3, 0))
             yield pd.DataFrame({"r": s[0], "g": s[1], "b": s[2]})
 

@@ -47,18 +47,27 @@ def _list_data_files(spark: SparkSession, path: str) -> list[str]:
     job). ``spark.read.parquet(...).inputFiles()`` costs 0.3-0.9 s of
     driver-side schema inference + InMemoryFileIndex per call — a fixed,
     parallelism-independent tax that lands straight on the N-vs-4N
-    efficiency ratio. Non-local paths (hdfs/s3) fall back to Spark's
-    listing. Same hidden-file rule as Spark: names starting with ``_`` or
-    ``.`` are not data files; URIs match inputFiles' ``file://`` form so
-    stripe fingerprints are identical either way.
+    efficiency ratio. Non-local paths (hdfs/s3), empty top levels AND any
+    directory containing non-hidden subdirectories (partitioned layouts —
+    their data files live in the subtree) fall back to Spark's listing,
+    matching ``inputFiles()`` exactly. Same hidden-file rule as Spark:
+    names starting with ``_`` or ``.`` are not data files; URIs match
+    inputFiles' ``file://`` form so stripe fingerprints are identical
+    either way.
     """
     if os.path.isdir(path):
         out = []
+        flat = True
         with os.scandir(path) as it:
             for e in it:
-                if e.is_file() and not e.name.startswith(("_", ".")):
+                if e.name.startswith(("_", ".")):
+                    continue
+                if e.is_dir():
+                    flat = False  # partition dirs: defer to Spark's recursion
+                    break
+                if e.is_file():
                     out.append("file://" + os.path.abspath(e.path))
-        if out:
+        if out and flat:
             return sorted(out)
     return sorted(spark.read.parquet(path).inputFiles())
 

@@ -9,8 +9,27 @@ runtime re-planning of the spatial joins.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+#: task retries for local-mode masters. Spark hard-codes maxTaskFailures=1
+#: for plain ``local``/``local[N]`` (SparkContext.createTaskScheduler), so
+#: any task-level self-healing — including the idle-timeout worker kill
+#: below — would fail the whole JOB on first trigger. ``local[N,F]`` is the
+#: retry-capable local master form; every engine session uses it.
+LOCAL_TASK_RETRIES = int(os.environ.get("SPARK_GRAFT_TASK_RETRIES", "4"))
+
+_PLAIN_LOCAL = re.compile(r"local\[(\d+|\*)\]$")
+
+
+def _retryable_master(master: str) -> str:
+    """``local[N]`` → ``local[N,F]`` so task failures retry instead of
+    failing the job (cluster masters pass through untouched)."""
+    m = _PLAIN_LOCAL.fullmatch(master)
+    if m and LOCAL_TASK_RETRIES > 1:
+        return f"local[{m.group(1)},{LOCAL_TASK_RETRIES}]"
+    return master
 
 #: rows per Arrow batch crossing into Python workers. At the default 32×32
 #: uint8 RGB payload (~3 KiB/row) this bounds a batch to ~6 MiB, keeping
@@ -44,6 +63,7 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    master = _retryable_master(master)
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
@@ -99,13 +119,19 @@ def get_spark(
         # self-healing for the (rare, local-mode, 1M-scale) wedged-task
         # hazard: a JVM task thread stuck reading from an idle Python worker
         # (jstack: ReaderInputStream select, worker ~0% CPU — observed once
-        # sitting 20+ min; BENCH/BASELINE.md round-3 note). With these set,
-        # the read times out, the worker is killed, and Spark RETRIES THE
-        # TASK — a seconds-scale hiccup instead of a killed job. Contract:
-        # every engine kernel produces output per Arrow batch in far under
-        # this timeout (batches are 2048 rows / ~6 MiB; kernels run in ms),
-        # so a genuinely busy worker is never killed. On a 1000-executor
-        # cluster this matters more: some worker somewhere WILL hang.
+        # sitting 20+ min; BENCH/wedge_rootcause.md). With these set, the
+        # read times out and the worker is killed; whether the TASK then
+        # retries depends on the master's maxTaskFailures. Plain
+        # local/local[N] hard-codes maxTaskFailures=1 (task failure = job
+        # failure), which is why _retryable_master above rewrites every
+        # local master to local[N,F] — under it the kill is a seconds-scale
+        # task retry; without it the job would fail at the timeout (still
+        # strictly better than hanging forever, and bench.py's subprocess
+        # retry recovers at the job level). Contract: every engine kernel
+        # produces output per Arrow batch in far under this timeout
+        # (batches are 2048 rows / ~6 MiB; kernels run in ms), so a
+        # genuinely busy worker is never killed. On a 1000-executor cluster
+        # this matters more: some worker somewhere WILL hang.
         .config(
             "spark.python.worker.idleTimeoutSeconds",
             os.environ.get("SPARK_GRAFT_WORKER_IDLE_TIMEOUT", "600"),

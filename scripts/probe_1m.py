@@ -8,11 +8,15 @@ wall seconds and CPU/DRAM envelopes; results append to
 
 The wedged-task experiment rides along for free: every run now executes
 with ``spark.python.worker.idleTimeoutSeconds=600`` +
-``killOnIdleTimeout=true`` (session.py) — if the rare local-mode wedge
-(JVM task thread blocked reading from an idle worker) recurs, the worker
-is killed and the TASK retries; the run completes late instead of hanging
-into the 900 s subprocess kill. A run that previously wedged shows up
-here as ``seconds`` ≈ normal + ~600 rather than a timeout retry.
+``killOnIdleTimeout=true`` on a retry-capable ``local[N,F]`` master
+(session.py:_retryable_master — plain local[N] hard-codes
+maxTaskFailures=1, under which the idle-timeout kill would FAIL the job
+at 600 s rather than retry the task). With both set, a recurrence of the
+rare local-mode wedge (JVM task thread blocked reading from an idle
+worker) kills the worker and the task retries; the run completes late
+instead of hanging into the 900 s subprocess kill. A run that previously
+wedged shows up here as ``seconds`` ≈ normal + ~600 rather than a
+timeout retry.
 
 Usage: python scripts/probe_1m.py [--rounds 2] [--levels 2,8,32] [--n 1000000]
 """
