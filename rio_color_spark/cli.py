@@ -123,31 +123,90 @@ def _build_parser() -> argparse.ArgumentParser:
         "--downsample option — bounds what leaves the cluster)",
     )
     common["jobs"](o)
+
+    i = sub.add_parser(
+        "ingest",
+        help="GeoTIFF -> parquet image table (distributed tile decode; "
+        "profile preserved in a _tiff_profile.json manifest)",
+    )
+    i.add_argument("src_tif")
+    i.add_argument("dst_table")
+    common["jobs"](i)
+
+    e = sub.add_parser(
+        "export",
+        help="parquet image table (+ manifest) -> GeoTIFF "
+        "(distributed tile encode; --co overrides compression etc.)",
+    )
+    e.add_argument("src_table")
+    e.add_argument("dst_tif")
+    common["co"](e)
+    common["jobs"](e)
     return p
 
 
-def _run(src: str, dst: str, ops: str, out_dtype, jobs: int, co: dict) -> None:
+def _session(jobs: int):
+    """(spark, owned): reuse an active session when one exists — under
+    spark-submit (or tests) its lifecycle belongs to its owner; stop only
+    what we created. A spark-submit --master (SparkConf) also wins over
+    -j: the jobs flag sizes LOCAL runs, a cluster sizes itself (reference
+    -j ≈ pool size, cli.py:103-112 — here the pool is the cluster)."""
+    from pyspark import SparkConf
     from pyspark.sql import SparkSession
 
-    from rio_color_spark.operators.color import color_correct
     from rio_color_spark.session import get_spark
-
-    # under spark-submit (or tests) a session may already exist — reuse it
-    # and leave its lifecycle to its owner; stop only what we created.
-    # A spark-submit --master (SparkConf) also wins over -j: the jobs flag
-    # sizes LOCAL runs, a cluster sizes itself (reference -j ≈ pool size,
-    # cli.py:103-112 — here the pool is the cluster).
-    from pyspark import SparkConf
 
     owned = SparkSession.getActiveSession() is None
     configured = SparkConf().get("spark.master", None)
-    spark = get_spark(
-        "rio-color-spark-cli", master=configured or f"local[{jobs}]"
-    )
+    spark = get_spark("rio-color-spark-cli", master=configured or f"local[{jobs}]")
+    return spark, owned
+
+
+def _run(src: str, dst: str, ops: str, out_dtype, jobs: int, co: dict) -> None:
+    from rio_color_spark.operators.color import color_correct
+    from rio_color_spark.sources import tiff_bridge as TB
+
+    spark, owned = _session(jobs)
     try:
+        if TB.is_tiff_path(src) and TB.is_tiff_path(dst):
+            # the reference's native surface: .tif in, .tif out
+            # (reference cli.py:81-121); --co become GDAL-style container
+            # creation options instead of parquet writer options
+            TB.color_correct_tiff(
+                spark, src, dst, ops, out_dtype=out_dtype, creation_options=co
+            )
+            return
+        import os
+        import shutil
+        import tempfile
+
+        manifest_src = None
+        if TB.is_tiff_path(src):
+            tmp = tempfile.mkdtemp(prefix="rio_color_spark_ingest_")
+            src_table = f"{tmp}/src_table"
+            TB.ingest_tiff(spark, src, src_table)
+            src = src_table
+        if os.path.exists(os.path.join(src, TB.MANIFEST)):
+            manifest_src = os.path.join(src, TB.MANIFEST)
         df = spark.read.parquet(src)
         out = color_correct(df, ops, out_dtype=out_dtype)
+        if TB.is_tiff_path(dst):
+            if manifest_src is None:
+                raise SystemExit(
+                    "exporting a .tif needs the source table's "
+                    f"{TB.MANIFEST} manifest; ingest the source tif first"
+                )
+            tmp = tempfile.mkdtemp(prefix="rio_color_spark_export_")
+            dst_table = f"{tmp}/dst_table"
+            out.write.mode("overwrite").parquet(dst_table)
+            shutil.copy(manifest_src, os.path.join(dst_table, TB.MANIFEST))
+            TB.export_tiff(spark, dst_table, dst, creation_options=co)
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
         out.write.mode("overwrite").options(**co).parquet(dst)
+        if manifest_src is not None:
+            # keep the table exportable: the container profile travels
+            shutil.copy(manifest_src, os.path.join(dst, TB.MANIFEST))
     finally:
         if owned:
             spark.stop()
@@ -201,6 +260,33 @@ def main(argv: list[str] | None = None) -> int:
         print(f"rio color src dst {res['ops']}")
         print(f"score: {res['score']:.6f}")
         print(f"initial_score: {res['initial_score']:.6f}")
+        return 0
+
+    if args.command == "ingest":
+        from rio_color_spark.sources import tiff_bridge as TB
+
+        jobs = check_jobs(args.jobs, parser)
+        spark, owned = _session(jobs)
+        try:
+            TB.ingest_tiff(spark, args.src_tif, args.dst_table)
+        finally:
+            if owned:
+                spark.stop()
+        return 0
+
+    if args.command == "export":
+        from rio_color_spark.sources import tiff_bridge as TB
+
+        jobs = check_jobs(args.jobs, parser)
+        spark, owned = _session(jobs)
+        try:
+            TB.export_tiff(
+                spark, args.src_table, args.dst_tif,
+                creation_options=_co_pairs(args.co, parser),
+            )
+        finally:
+            if owned:
+                spark.stop()
         return 0
 
     # atmos
