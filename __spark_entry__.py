@@ -613,6 +613,124 @@ def _golden_frames_values() -> str:
     )
 
 
+REF_TIF = "/root/reference/tests/rgb8.tif"
+
+
+def q_tiff_ingest(spark, sf_dir):
+    """Distributed GeoTIFF ingest (reference tests/rgb8.tif, the parity
+    raster): driver parses only the header, executors decode disjoint
+    LZW tile ranges into image-table rows (sources/tiff_bridge.py)."""
+    import tempfile
+
+    from rio_color_spark.sources import tiff_bridge as TB
+
+    tbl = tempfile.mkdtemp(prefix="rcs_gate_tiff_") + "/tbl"
+    TB.ingest_tiff(spark, REF_TIF, tbl)
+    return spark.read.parquet(tbl).select(
+        "image_id", "w", "h", "fmt",
+        F.length("bytes").alias("n_bytes"),
+        F.md5("bytes").alias("bytes_md5"),
+    )
+
+
+def _golden_tiff_values() -> str:
+    """Golden twin for tiff_ingest: whole-raster read + plain NumPy grid
+    slicing on the driver — none of the Spark bridge's chunk-range /
+    mapInPandas / per-tile-decode plumbing is shared (the codec itself is
+    pinned against the libtiff-written file by tests/test_tiff.py)."""
+    import hashlib
+
+    from rio_color_spark.sources.tiff import read_tiff
+
+    arr, prof = read_tiff(REF_TIF)
+    rows = []
+    across = -(-prof.width // prof.tile_width)
+    down = -(-prof.height // prof.tile_height)
+    for idx in range(across * down):
+        r, c = divmod(idx, across)
+        tile = arr[
+            :,
+            r * prof.tile_height : (r + 1) * prof.tile_height,
+            c * prof.tile_width : (c + 1) * prof.tile_width,
+        ]
+        payload = np.ascontiguousarray(tile).tobytes()
+        rows.append(
+            f"('rgb8:{idx:06d}', {tile.shape[2]}, {tile.shape[1]}, 'npy8', "
+            f"{len(payload)}, '{hashlib.md5(payload).hexdigest()}')"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS g(image_id, w, h, fmt, n_bytes, bytes_md5)"
+    )
+
+
+def q_frames_y4m(spark, sf_dir):
+    """Frame sampling through the REAL video container path: clips are
+    wrapped into YUV4MPEG2 streams executor-side, then decoded by the
+    registry decoder (operators/media.CLIP_DECODERS) and sampled."""
+    from rio_color_spark.operators.media import sample_frames
+    from rio_color_spark.sources.images import CLIPS_SCHEMA, clips_df
+
+    def to_y4m(batches):
+        from rio_color_spark.sources import y4m
+
+        for pdf in batches:
+            out = pdf.copy()
+            bufs, fmts = [], []
+            for r in pdf.itertuples(index=False):
+                if r.fmt == "npyseq8":
+                    clip = np.frombuffer(r.bytes, np.uint8).reshape(
+                        -1, 3, r.h, r.w
+                    )
+                    bufs.append(y4m.encode(clip, chroma="444"))
+                    fmts.append("y4m")
+                else:
+                    bufs.append(r.bytes)
+                    fmts.append(r.fmt)
+            out["bytes"] = bufs
+            out["fmt"] = fmts
+            yield out
+
+    wrapped = clips_df(spark, 48).mapInPandas(to_y4m, schema=CLIPS_SCHEMA)
+    out = sample_frames(wrapped, every_k=3)
+    return out.select(
+        "image_id", "frame", "w", "h", "fmt",
+        F.length("bytes").alias("n_bytes"),
+        F.md5("bytes").alias("bytes_md5"),
+    )
+
+
+def _golden_y4m_values() -> str:
+    """Golden twin for frames_y4m: driver-side encode → decode → stride
+    slice (no operators/media plumbing; the codec math is pinned against
+    hand-built YUV streams by tests/test_y4m.py)."""
+    import hashlib
+
+    from rio_color_spark.sources import y4m
+    from rio_color_spark.sources.images import generate_clips_pandas
+
+    rows = []
+    for r in generate_clips_pandas(np.arange(48)).itertuples(index=False):
+        if r.fmt == "npyseq8":
+            clip = np.frombuffer(r.bytes, np.uint8).reshape(-1, 3, r.h, r.w)
+            decoded = y4m.decode(y4m.encode(clip, chroma="444"))
+            for f in range(0, decoded.shape[0], 3):
+                p = np.ascontiguousarray(decoded[f]).tobytes()
+                rows.append(
+                    f"('{r.image_id}', {f}, {r.w}, {r.h}, 'npy8', {len(p)}, "
+                    f"'{hashlib.md5(p).hexdigest()}')"
+                )
+        else:
+            rows.append(
+                f"('{r.image_id}', 0, {r.w}, {r.h}, '{r.fmt}', "
+                f"{len(r.bytes)}, '{hashlib.md5(r.bytes).hexdigest()}')"
+            )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS g(image_id, frame, w, h, fmt, n_bytes, bytes_md5)"
+    )
+
+
 #: pinned golden for the optimize_color e2e gate (seed=0, steps=40,
 #: even/odd phash split of the 120-row synthetic table — deterministic:
 #: the sample is every pixel of every src image, energies are
@@ -816,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_stats": q_band_stats,
         "tpch_q1": q_tpch_q1,
         "events_window": q_events_window,
+        "tiff_ingest": q_tiff_ingest,
+        "frames_y4m": q_frames_y4m,
     }
 
 
@@ -1022,6 +1142,8 @@ def oracle_sql() -> dict[str, str]:
         "band_stats": _media_goldens[0],
         "resize_images": _media_goldens[1],
         "sample_frames": _golden_frames_values(),
+        "tiff_ingest": _golden_tiff_values(),
+        "frames_y4m": _golden_y4m_values(),
         "optimize_color": (
             "SELECT '{ops}' AS ops, {score} AS score, "
             "{initial_score} AS initial_score".format(**OPTIMIZE_GOLDEN)
