@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "band_stats",
     "tpch_q1",
     "events_window",
+    "tiff_ingest",
+    "frames_y4m",
 ]
 
 
