@@ -731,6 +731,68 @@ def _golden_y4m_values() -> str:
     )
 
 
+def q_snapshot_time_travel(spark, sf_dir):
+    """Iceberg-facade snapshot semantics (sources/snapshots.py) through
+    the hash gate: three appends — the third AFTER an add_column schema
+    evolution — then the current read unioned with a VERSION-AS-OF read
+    of the first snapshot. Old files surface the evolved column as NULL
+    (id-based projection); the v1 read proves time travel sees the
+    pre-append, pre-evolution state."""
+    import tempfile
+
+    from rio_color_spark.sources.snapshots import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="rcs_gate_snap_") + "/t"
+    t = SnapshotTable.create(base, "doc_id bigint, lang string, n_chars bigint")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t.append(docs.filter("doc_id % 3 = 0"))
+    sid1 = t.metadata()["current_snapshot_id"]
+    t.append(docs.filter("doc_id % 3 = 1"))
+    t.add_column("flag", "bigint")
+    t.append(
+        docs.filter("doc_id % 3 = 2").withColumn("flag", F.expr("doc_id % 7"))
+    )
+    cur = t.read(spark).withColumn("view", F.lit("current"))
+    v1 = (
+        t.read(spark, snapshot_id=sid1)
+        .withColumn("flag", F.lit(None).cast("bigint"))
+        .withColumn("view", F.lit("v1"))
+    )
+    return cur.unionByName(v1)
+
+
+def q_snapshot_prune(spark, sf_dir):
+    """Manifest min/max file pruning (Iceberg's metadata-level scan
+    planning): three single-file appends with disjoint doc_id thirds,
+    then a bounded read that must plan exactly ONE of the three files.
+    The planning report rides on the result as literal columns so the
+    oracle hash-pins the pruning decision itself, not just row values."""
+    import tempfile
+
+    from rio_color_spark.sources.snapshots import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="rcs_gate_prune_") + "/t"
+    t = SnapshotTable.create(base, "doc_id bigint, lang string, n_chars bigint")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    n = docs.count()
+    lo, hi = n // 3, 2 * n // 3
+    for pred in (
+        f"doc_id < {lo}",
+        f"doc_id >= {lo} AND doc_id < {hi}",
+        f"doc_id >= {hi}",
+    ):
+        t.append(docs.filter(pred).coalesce(1))
+    _, report = t.plan_files(predicates={"doc_id": (lo, hi - 1)})
+    out = t.read(spark, predicates={"doc_id": (lo, hi - 1)})
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.lit(report["files_total"]).alias("files_total"),
+        F.lit(report["files_scanned"]).alias("files_scanned"),
+    )
+
+
 #: pinned golden for the optimize_color e2e gate (seed=0, steps=40,
 #: even/odd phash split of the 120-row synthetic table — deterministic:
 #: the sample is every pixel of every src image, energies are
@@ -936,6 +998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "tiff_ingest": q_tiff_ingest,
         "frames_y4m": q_frames_y4m,
+        "snapshot_time_travel": q_snapshot_time_travel,
+        "snapshot_prune": q_snapshot_prune,
     }
 
 
@@ -1166,6 +1230,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute, "
             "event_type, count(*) AS n, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        # snapshot facade: current ∪ VERSION-AS-OF(v1); the evolved
+        # column is NULL everywhere except the post-evolution append
+        "snapshot_time_travel": (
+            "SELECT doc_id, lang, n_chars, "
+            "CASE WHEN doc_id % 3 = 2 THEN doc_id % 7 END AS flag, "
+            "'current' AS view FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS flag, "
+            "'v1' AS view FROM documents WHERE doc_id % 3 = 0"
+        ),
+        # pruning gate: the middle third survives; the report literals
+        # (3 files planned, 1 scanned) are part of the hashed result
+        "snapshot_prune": (
+            "WITH b AS (SELECT count(*) AS n FROM documents) "
+            "SELECT d.doc_id, d.lang, d.n_chars, "
+            "3 AS files_total, 1 AS files_scanned "
+            "FROM documents d, b "
+            "WHERE d.doc_id >= b.n // 3 AND d.doc_id < 2 * b.n // 3"
         ),
         # the streaming drain must reproduce the batch twin exactly
         "stream_drain": (

@@ -1,0 +1,577 @@
+"""Iceberg-style snapshot catalog over the Parquet facade.
+
+The engine's north rule targets Iceberg tables; this container carries no
+Iceberg jars (SURVEY.md §7), so :mod:`catalog` ships chunk-level committed
+writes and this module adds the table-level Iceberg semantics on the same
+plain-Parquet substrate — the four capabilities the round-4 verdict named
+as the facade's gap:
+
+- **snapshots**: every ``append``/``overwrite``/``compact`` produces an
+  immutable snapshot (manifest = a Parquet file listing data files with
+  row counts and per-column min/max stats); a version-numbered metadata
+  JSON points at the current one and keeps the full snapshot log.
+- **optimistic-concurrency commits**: a commit is the ``O_CREAT|O_EXCL``
+  creation of the next ``v%08d.metadata.json`` — the same
+  compare-and-swap Iceberg's HadoopTableOperations does with its
+  ``version-hint`` rename. A losing writer re-reads and retries, so two
+  concurrent appenders both land (serialized), never clobber.
+- **time travel**: ``read(spark, snapshot_id=...)`` /
+  ``read(spark, as_of_ms=...)`` — the ``VERSION AS OF`` / ``TIMESTAMP AS
+  OF`` analogue, reading with the SCHEMA THAT SNAPSHOT HAD.
+- **id-based schema evolution**: columns carry permanent field ids; add /
+  drop / rename are metadata-only commits. Old data files are read with the
+  schema they were WRITTEN with and projected to the requested schema by
+  field id, so a rename never rewrites data and never resurrects a
+  dropped-then-readded name (Iceberg spec §Schema Evolution).
+
+Scan planning (:meth:`SnapshotTable.plan_files`) prunes data files by the
+manifest min/max stats BEFORE Spark ever lists them — Iceberg's
+metadata-level file pruning. Maintenance: :meth:`compact` rewrites the
+live file set into fewer, larger files as a ``rewrite`` snapshot (no
+logical change), :meth:`expire_snapshots` drops history and deletes files
+unreachable from the retained snapshots.
+
+100-TB posture: all metadata operations are driver-side reads of footer/
+manifest Parquet (milliseconds, no Spark job), mirroring Iceberg's design
+where scan planning touches manifests, not data. Manifests are themselves
+Parquet, so at real scale they can be unioned and read distributed
+(``spark.read.parquet(base/"manifests")``) — the same seam Iceberg's
+metadata tables expose. Data reads group files by write-schema: one
+``spark.read.schema(...).parquet(*files)`` per schema generation, then a
+``unionByName`` — a handful of generations regardless of file count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_META_FMT = "v{:08d}.metadata.json"
+
+#: parquet logical types the stats collector keeps min/max for (stats on
+#: binary/nested columns cost manifest width and never prune in practice)
+_STATS_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double",
+                "string", "date", "timestamp", "boolean")
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version we were about to write."""
+
+
+def _spark_type(ddl: str) -> T.DataType:
+    return T.StructType.fromDDL(f"`_` {ddl}").fields[0].dataType
+
+
+class SnapshotTable:
+    """One snapshot-versioned table rooted at ``base``.
+
+    Layout::
+
+        base/metadata/v00000001.metadata.json   (CAS-committed versions)
+        base/manifests/snap-<id>.parquet        (file list + stats)
+        base/data/<commit-uuid>/part-*.parquet  (immutable data files)
+    """
+
+    def __init__(self, base: str):
+        self.base = base.rstrip("/")
+        self.meta_dir = os.path.join(self.base, "metadata")
+        self.manifest_dir = os.path.join(self.base, "manifests")
+        self.data_dir = os.path.join(self.base, "data")
+
+    # -- metadata versions ---------------------------------------------------
+
+    @classmethod
+    def create(cls, base: str, schema_ddl: str) -> "SnapshotTable":
+        """Create an empty table with the given DDL schema (``name type,
+        ...``). Fails if a table already exists at ``base``."""
+        t = cls(base)
+        for d in (t.meta_dir, t.manifest_dir, t.data_dir):
+            os.makedirs(d, exist_ok=True)
+        if t._versions():
+            raise FileExistsError(f"table already exists at {base}")
+        fields = [
+            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+            for i, f in enumerate(T.StructType.fromDDL(schema_ddl).fields)
+        ]
+        meta = {
+            "format_version": 1,
+            "table_uuid": uuid.uuid4().hex,
+            "version": 1,
+            "last_field_id": len(fields),
+            "current_schema_id": 0,
+            "schemas": [{"schema_id": 0, "fields": fields}],
+            "current_snapshot_id": None,
+            "snapshots": [],
+        }
+        t._cas_write(meta)
+        return t
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        return sorted(
+            int(n[1:9])
+            for n in os.listdir(self.meta_dir)
+            if n.endswith(".metadata.json")
+        )
+
+    def metadata(self, version: int | None = None) -> dict:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no table at {self.base}")
+        v = version if version is not None else vs[-1]
+        with open(os.path.join(self.meta_dir, _META_FMT.format(v))) as f:
+            return json.load(f)
+
+    def _cas_write(self, meta: dict) -> None:
+        """Commit = O_EXCL create of the next version file (POSIX CAS)."""
+        path = os.path.join(self.meta_dir, _META_FMT.format(meta["version"]))
+        payload = json.dumps(meta, indent=1).encode()
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {meta['version']} already committed at {self.base}"
+            ) from None
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _commit(self, mutate, retries: int = 10) -> dict:
+        """Optimistic-concurrency loop: re-read, re-apply, CAS."""
+        for _ in range(retries):
+            meta = self.metadata()
+            new = mutate(json.loads(json.dumps(meta)))  # deep copy
+            new["version"] = meta["version"] + 1
+            try:
+                self._cas_write(new)
+                return new
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {retries} retries at {self.base}")
+
+    # -- schema --------------------------------------------------------------
+
+    def schema(self, schema_id: int | None = None, meta: dict | None = None) -> dict:
+        meta = meta or self.metadata()
+        sid = meta["current_schema_id"] if schema_id is None else schema_id
+        for s in meta["schemas"]:
+            if s["schema_id"] == sid:
+                return s
+        raise KeyError(f"no schema_id={sid}")
+
+    def schema_ddl(self, schema_id: int | None = None) -> str:
+        s = self.schema(schema_id)
+        return ", ".join(f"{f['name']} {f['type']}" for f in s["fields"])
+
+    def _evolve(self, mutate_fields) -> dict:
+        def mut(meta):
+            cur = self.schema(meta=meta)
+            fields = [dict(f) for f in cur["fields"]]
+            last_id = meta["last_field_id"]
+            fields, last_id = mutate_fields(fields, last_id)
+            new_schema = {"schema_id": len(meta["schemas"]), "fields": fields}
+            meta["schemas"].append(new_schema)
+            meta["current_schema_id"] = new_schema["schema_id"]
+            meta["last_field_id"] = last_id
+            return meta
+        return self._commit(mut)
+
+    def add_column(self, name: str, type_ddl: str) -> dict:
+        """Metadata-only: existing files read the new column as NULL."""
+        _spark_type(type_ddl)  # validate
+
+        def mut(fields, last_id):
+            if any(f["name"] == name for f in fields):
+                raise ValueError(f"column {name!r} exists")
+            return fields + [{"id": last_id + 1, "name": name,
+                              "type": type_ddl}], last_id + 1
+        return self._evolve(mut)
+
+    def drop_column(self, name: str) -> dict:
+        def mut(fields, last_id):
+            out = [f for f in fields if f["name"] != name]
+            if len(out) == len(fields):
+                raise KeyError(name)
+            return out, last_id
+        return self._evolve(mut)
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Same field id, new name — no data rewrite; old files still
+        resolve BY ID, so the physical column name in them keeps working."""
+        def mut(fields, last_id):
+            if any(f["name"] == new for f in fields):
+                raise ValueError(f"column {new!r} exists")
+            hit = [f for f in fields if f["name"] == old]
+            if not hit:
+                raise KeyError(old)
+            hit[0]["name"] = new
+            return fields, last_id
+        return self._evolve(mut)
+
+    # -- writes --------------------------------------------------------------
+
+    def _collect_stats(self, files: list[str], schema: dict) -> list[dict]:
+        """One manifest row per data file: path, rows, bytes, field-id
+        keyed min/max from the parquet FOOTER (driver-side, no data read)."""
+        import pyarrow.parquet as pq
+
+        statable = {
+            f["name"]: f["id"] for f in schema["fields"]
+            if f["type"] in _STATS_TYPES
+        }
+        rows = []
+        for path in files:
+            md = pq.read_metadata(path)
+            lo: dict[str, object] = {}
+            hi: dict[str, object] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if name not in statable or st is None or not st.has_min_max:
+                        continue
+                    fid = str(statable[name])
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn = mn.decode("utf-8", "replace")
+                        mx = mx.decode("utf-8", "replace")
+                    lo[fid] = mn if fid not in lo else min(lo[fid], mn)
+                    hi[fid] = mx if fid not in hi else max(hi[fid], mx)
+            rows.append({
+                "file_path": path,
+                "n_rows": md.num_rows,
+                "n_bytes": os.path.getsize(path),
+                "schema_id": schema["schema_id"],
+                "lower_bounds": json.dumps(lo),
+                "upper_bounds": json.dumps(hi),
+            })
+        return rows
+
+    def _write_manifest(self, snapshot_id: int, rows: list[dict]) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.manifest_dir, f"snap-{snapshot_id}.parquet")
+        schema = pa.schema([
+            ("file_path", pa.string()), ("n_rows", pa.int64()),
+            ("n_bytes", pa.int64()), ("schema_id", pa.int32()),
+            ("lower_bounds", pa.string()), ("upper_bounds", pa.string()),
+        ])
+        tmp = path + f".{uuid.uuid4().hex}.tmp"
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+        os.replace(tmp, path)
+        return path
+
+    def _manifest_rows(self, snapshot: dict) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        return pq.read_table(
+            os.path.join(self.base, snapshot["manifest"])
+        ).to_pylist()
+
+    def _write_data(self, df: DataFrame, write_options: dict | None) -> list[str]:
+        out = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df.write.options(**(write_options or {})).parquet(out)
+        return sorted(
+            os.path.join(out, f) for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+
+    def _snapshot_commit(self, operation: str, rows: list[dict]) -> dict:
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        manifest = self._write_manifest(snapshot_id, rows)
+
+        def mut(meta):
+            meta["snapshots"].append({
+                "snapshot_id": snapshot_id,
+                "parent_id": meta["current_snapshot_id"],
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "schema_id": meta["current_schema_id"],
+                "manifest": os.path.relpath(manifest, self.base),
+                "summary": {
+                    "total_files": len(rows),
+                    "total_rows": sum(r["n_rows"] for r in rows),
+                },
+            })
+            meta["current_snapshot_id"] = snapshot_id
+            return meta
+        return self._commit(mut)
+
+    def append(self, df: DataFrame, write_options: dict | None = None) -> dict:
+        """New snapshot = parent's file list + the newly written files.
+        The DataFrame must match the CURRENT schema (missing nullable
+        columns are filled with NULL; extra columns are an error)."""
+        meta = self.metadata()
+        schema = self.schema(meta=meta)
+        df = self._conform(df, schema)
+        files = self._write_data(df, write_options)
+        new_rows = self._collect_stats(files, schema)
+        cur = self.current_snapshot(meta)
+        old_rows = self._manifest_rows(cur) if cur else []
+        return self._snapshot_commit("append", old_rows + new_rows)
+
+    def overwrite(self, df: DataFrame, write_options: dict | None = None) -> dict:
+        """New snapshot whose file list is ONLY the newly written files.
+        Old files stay on disk for time travel until expire_snapshots."""
+        schema = self.schema()
+        df = self._conform(df, schema)
+        files = self._write_data(df, write_options)
+        return self._snapshot_commit("overwrite", self._collect_stats(files, schema))
+
+    def _conform(self, df: DataFrame, schema: dict) -> DataFrame:
+        cols = []
+        names = set(df.columns)
+        for f in schema["fields"]:
+            if f["name"] in names:
+                cols.append(F.col(f["name"]).cast(f["type"]).alias(f["name"]))
+            else:
+                cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+        extra = names - {f["name"] for f in schema["fields"]}
+        if extra:
+            raise ValueError(
+                f"columns {sorted(extra)} not in table schema "
+                f"(add_column first)"
+            )
+        return df.select(*cols)
+
+    # -- reads ---------------------------------------------------------------
+
+    def current_snapshot(self, meta: dict | None = None) -> dict | None:
+        meta = meta or self.metadata()
+        sid = meta["current_snapshot_id"]
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return s
+        return None
+
+    def _resolve_snapshot(
+        self, meta: dict, snapshot_id: int | None, as_of_ms: int | None
+    ) -> dict | None:
+        if snapshot_id is not None:
+            for s in meta["snapshots"]:
+                if s["snapshot_id"] == snapshot_id:
+                    return s
+            raise KeyError(f"no snapshot {snapshot_id}")
+        if as_of_ms is not None:
+            eligible = [s for s in meta["snapshots"]
+                        if s["timestamp_ms"] <= as_of_ms]
+            if not eligible:
+                raise KeyError(f"no snapshot at or before {as_of_ms}")
+            return eligible[-1]  # snapshot list is append-ordered
+        return self.current_snapshot(meta)
+
+    def _read_schema_id(
+        self, meta: dict, snap: dict | None,
+        snapshot_id: int | None, as_of_ms: int | None
+    ) -> int:
+        """Current reads use the CURRENT schema (metadata-only evolutions
+        apply immediately); time-travel reads use the schema the snapshot
+        was committed under (Iceberg's VERSION AS OF semantics)."""
+        if snapshot_id is None and as_of_ms is None:
+            return meta["current_schema_id"]
+        return snap["schema_id"]
+
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        predicates: dict[str, tuple] | None = None,
+    ) -> tuple[list[dict], dict]:
+        """Manifest rows surviving min/max pruning + a planning report.
+
+        ``predicates`` maps read-schema column name → (lo, hi) bound
+        (either side may be None; names resolve to field ids, so pruning
+        works across renames). A file is kept unless its stats prove no
+        row can match — exactly Iceberg's inclusive metrics evaluator.
+        """
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta, snapshot_id, as_of_ms)
+        if snap is None:
+            return [], {"files_total": 0, "files_scanned": 0, "snapshot_id": None}
+        read_schema = self.schema(
+            self._read_schema_id(meta, snap, snapshot_id, as_of_ms), meta
+        )
+        name_to_id = {f["name"]: f["id"] for f in read_schema["fields"]}
+        rows = self._manifest_rows(snap)
+        kept = []
+        for r in rows:
+            lo = json.loads(r["lower_bounds"])
+            hi = json.loads(r["upper_bounds"])
+            keep = True
+            for name, (p_lo, p_hi) in (predicates or {}).items():
+                fid = str(name_to_id.get(name, -1))
+                if fid not in lo:  # no stats → cannot prune
+                    continue
+                if p_lo is not None and hi[fid] < p_lo:
+                    keep = False
+                    break
+                if p_hi is not None and lo[fid] > p_hi:
+                    keep = False
+                    break
+            if keep:
+                kept.append(r)
+        report = {
+            "snapshot_id": snap["snapshot_id"],
+            "files_total": len(rows),
+            "files_scanned": len(kept),
+            "rows_total": sum(r["n_rows"] for r in rows),
+            "rows_scanned": sum(r["n_rows"] for r in kept),
+        }
+        return kept, report
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        predicates: dict[str, tuple] | None = None,
+    ) -> DataFrame:
+        """Scan a snapshot (default: current) as a DataFrame.
+
+        Files are grouped by the schema they were WRITTEN with; each group
+        gets one explicit-schema parquet scan projected BY FIELD ID onto
+        the snapshot's read schema, then the groups ``unionByName``. With
+        ``predicates``, manifest pruning happens first and the same bounds
+        are re-applied as a residual Spark filter (pruning is file-level;
+        the residual keeps row-level semantics exact)."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta, snapshot_id, as_of_ms)
+        read_schema = self.schema(
+            self._read_schema_id(meta, snap, snapshot_id, as_of_ms)
+            if snap else None,
+            meta,
+        )
+        ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in read_schema["fields"])
+        if snap is None:
+            return spark.createDataFrame([], ddl)
+        kept, _ = self.plan_files(
+            snapshot_id=snapshot_id, as_of_ms=as_of_ms, predicates=predicates
+        )
+        if not kept:
+            return spark.createDataFrame([], ddl)
+        groups: dict[int, list[str]] = {}
+        for r in kept:
+            groups.setdefault(r["schema_id"], []).append(r["file_path"])
+        parts = []
+        for sid, paths in sorted(groups.items()):
+            write_schema = self.schema(sid, meta)
+            phys_ddl = ", ".join(
+                f"`{f['name']}` {f['type']}" for f in write_schema["fields"]
+            )
+            by_id = {f["id"]: f["name"] for f in write_schema["fields"]}
+            cols = []
+            for f in read_schema["fields"]:
+                phys = by_id.get(f["id"])
+                if phys is None:
+                    cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+                else:
+                    cols.append(
+                        F.col(phys).cast(f["type"]).alias(f["name"])
+                    )
+            parts.append(
+                spark.read.schema(phys_ddl).parquet(*paths).select(*cols)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        for name, (p_lo, p_hi) in (predicates or {}).items():
+            if p_lo is not None:
+                df = df.filter(F.col(name) >= F.lit(p_lo))
+            if p_hi is not None:
+                df = df.filter(F.col(name) <= F.lit(p_hi))
+        return df
+
+    # -- metadata tables (Iceberg's table.history / table.files analogues) ---
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        meta = self.metadata()
+        rows = [
+            (s["snapshot_id"], s["parent_id"], s["timestamp_ms"],
+             s["operation"], s["schema_id"],
+             s["summary"]["total_files"], s["summary"]["total_rows"])
+            for s in meta["snapshots"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, timestamp_ms long, "
+            "operation string, schema_id int, total_files long, "
+            "total_rows long",
+        )
+
+    def files(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        kept, _ = self.plan_files(snapshot_id=snapshot_id)
+        return spark.createDataFrame(
+            [
+                (r["file_path"], r["n_rows"], r["n_bytes"], r["schema_id"],
+                 r["lower_bounds"], r["upper_bounds"])
+                for r in kept
+            ],
+            "file_path string, n_rows long, n_bytes long, schema_id int, "
+            "lower_bounds string, upper_bounds string",
+        )
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        write_options: dict | None = None,
+    ) -> dict:
+        """Rewrite the current file set into ~target-sized files as a
+        ``rewrite`` snapshot (same logical rows; read plans shrink).
+        The rewrite normalizes every row to the CURRENT schema, so a
+        post-compaction table is single-schema-generation again."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise ValueError("empty table")
+        rows = self._manifest_rows(cur)
+        total = sum(r["n_bytes"] for r in rows)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = self.read(spark, snapshot_id=cur["snapshot_id"]).repartition(int(n_out))
+        schema = self.schema()
+        files = self._write_data(df, write_options)
+        return self._snapshot_commit("rewrite", self._collect_stats(files, schema))
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and delete data
+        files + manifests unreachable from the survivors."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+
+        def mut(meta):
+            meta["snapshots"] = meta["snapshots"][-keep_last:]  # append order
+            return meta
+        new = self._commit(mut)
+        live_files: set[str] = set()
+        live_manifests: set[str] = set()
+        for s in new["snapshots"]:
+            live_manifests.add(os.path.join(self.base, s["manifest"]))
+            for r in self._manifest_rows(s):
+                live_files.add(r["file_path"])
+        for name in os.listdir(self.manifest_dir):
+            p = os.path.join(self.manifest_dir, name)
+            if p.endswith(".parquet") and p not in live_manifests:
+                os.unlink(p)
+        for d in os.listdir(self.data_dir):
+            dd = os.path.join(self.data_dir, d)
+            for f in os.listdir(dd):
+                p = os.path.join(dd, f)
+                if f.endswith(".parquet") and p not in live_files:
+                    os.unlink(p)
+            if not any(f.endswith(".parquet") for f in os.listdir(dd)):
+                for f in os.listdir(dd):  # _SUCCESS, .crc
+                    os.unlink(os.path.join(dd, f))
+                os.rmdir(dd)
+        return new

@@ -1,0 +1,227 @@
+"""SnapshotTable: Iceberg-semantics facade (snapshots, time travel,
+id-based schema evolution, min/max file pruning, CAS commits,
+compaction, snapshot expiry). The round-4 verdict named these as the
+catalog facade's gap vs the north rule's Iceberg target."""
+
+import os
+import time
+
+import pytest
+
+from rio_color_spark.sources.snapshots import (
+    CommitConflict,
+    SnapshotTable,
+    _META_FMT,
+)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "t"), "doc_id bigint, lang string, n_chars bigint"
+    )
+    return t
+
+
+def _docs(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' "
+        "ELSE 'fr' END AS lang",
+        "id * 7 % 100 AS n_chars",
+    )
+
+
+def test_create_append_read_roundtrip(spark, tbl):
+    tbl.append(_docs(spark, 0, 50))
+    got = tbl.read(spark)
+    assert got.count() == 50
+    assert [f.name for f in got.schema.fields] == ["doc_id", "lang", "n_chars"]
+    assert got.filter("doc_id = 7").first()["lang"] == "de"
+
+
+def test_create_twice_fails(spark, tmp_path):
+    SnapshotTable.create(str(tmp_path / "x"), "a int")
+    with pytest.raises(FileExistsError):
+        SnapshotTable.create(str(tmp_path / "x"), "a int")
+
+
+def test_append_accumulates_and_history(spark, tbl):
+    s1 = tbl.append(_docs(spark, 0, 30))
+    s2 = tbl.append(_docs(spark, 30, 80))
+    assert tbl.read(spark).count() == 80
+    h = tbl.history(spark).orderBy("timestamp_ms").collect()
+    assert [r["operation"] for r in h] == ["append", "append"]
+    assert h[-1]["total_rows"] == 80
+    assert h[0]["total_rows"] == 30
+    assert s2["version"] > s1["version"]
+
+
+def test_time_travel_by_snapshot_and_timestamp(spark, tbl):
+    tbl.append(_docs(spark, 0, 30))
+    sid1 = tbl.metadata()["current_snapshot_id"]
+    ts1 = tbl.current_snapshot()["timestamp_ms"]
+    time.sleep(0.01)
+    tbl.append(_docs(spark, 30, 80))
+    assert tbl.read(spark).count() == 80
+    assert tbl.read(spark, snapshot_id=sid1).count() == 30
+    assert tbl.read(spark, as_of_ms=ts1).count() == 30
+    with pytest.raises(KeyError):
+        tbl.read(spark, as_of_ms=ts1 - 10_000)
+    with pytest.raises(KeyError):
+        tbl.read(spark, snapshot_id=123456)
+
+
+def test_overwrite_replaces_but_history_survives(spark, tbl):
+    tbl.append(_docs(spark, 0, 30))
+    sid1 = tbl.metadata()["current_snapshot_id"]
+    tbl.overwrite(_docs(spark, 100, 110))
+    assert tbl.read(spark).count() == 10
+    assert tbl.read(spark).agg({"doc_id": "min"}).first()[0] == 100
+    assert tbl.read(spark, snapshot_id=sid1).count() == 30
+
+
+def test_add_column_old_files_read_null(spark, tbl):
+    tbl.append(_docs(spark, 0, 20))
+    tbl.add_column("quality", "double")
+    df2 = _docs(spark, 20, 40).selectExpr("*", "doc_id * 0.5 AS quality")
+    tbl.append(df2)
+    got = tbl.read(spark)
+    assert got.filter("quality IS NULL").count() == 20
+    assert got.filter("quality IS NOT NULL").count() == 20
+    # time travel BEFORE the evolution reads the OLD schema (no quality)
+    first_sid = tbl.history(spark).orderBy("timestamp_ms").first()["snapshot_id"]
+    old = tbl.read(spark, snapshot_id=first_sid)
+    assert "quality" not in old.columns
+
+
+def test_rename_is_metadata_only_and_id_based(spark, tbl):
+    tbl.append(_docs(spark, 0, 20))
+    files_before = {r["file_path"] for r in tbl.files(spark).collect()}
+    tbl.rename_column("lang", "language")
+    tbl.append(
+        _docs(spark, 20, 30).withColumnRenamed("lang", "language")
+    )
+    got = tbl.read(spark)
+    assert "language" in got.columns and "lang" not in got.columns
+    # old files (written under the physical name `lang`) resolve by id
+    assert got.filter("doc_id < 20 AND language = 'de'").count() > 0
+    # the rename itself rewrote nothing
+    files_after = {r["file_path"] for r in tbl.files(spark).collect()}
+    assert files_before <= files_after
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tbl):
+    tbl.append(_docs(spark, 0, 20))
+    tbl.drop_column("n_chars")
+    tbl.add_column("n_chars", "bigint")  # NEW field id
+    got = tbl.read(spark)
+    # old data for the dropped column must NOT reappear under the new id
+    assert got.filter("n_chars IS NOT NULL").count() == 0
+    with pytest.raises(KeyError):
+        tbl.drop_column("nope")
+    with pytest.raises(ValueError):
+        tbl.add_column("lang", "string")
+    with pytest.raises(ValueError):
+        tbl.rename_column("doc_id", "lang")
+
+
+def test_conform_fills_missing_and_rejects_extra(spark, tbl):
+    tbl.append(spark.range(0, 5).selectExpr("id AS doc_id"))
+    assert tbl.read(spark).filter("lang IS NULL").count() == 5
+    with pytest.raises(ValueError):
+        tbl.append(spark.range(5).selectExpr("id AS doc_id", "id AS zzz"))
+
+
+def test_minmax_pruning_plans_fewer_files(spark, tbl):
+    # three appends with disjoint doc_id ranges → three file groups
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        tbl.append(_docs(spark, lo, hi).coalesce(1))
+    kept, report = tbl.plan_files(predicates={"doc_id": (120, 180)})
+    assert report["files_total"] == 3
+    assert report["files_scanned"] == 1
+    assert report["rows_scanned"] == 100
+    got = tbl.read(spark, predicates={"doc_id": (120, 180)})
+    want = tbl.read(spark).filter("doc_id BETWEEN 120 AND 180")
+    assert got.count() == want.count() == 61
+    assert got.exceptAll(want).count() == 0
+    # string stats prune too
+    _, rep2 = tbl.plan_files(predicates={"lang": ("zz", None)})
+    assert rep2["files_scanned"] == 0
+
+
+def test_pruning_after_rename_uses_field_ids(spark, tbl):
+    tbl.append(_docs(spark, 0, 100).coalesce(1))
+    tbl.rename_column("doc_id", "document_id")
+    tbl.append(
+        _docs(spark, 500, 600).withColumnRenamed("doc_id", "document_id")
+        .coalesce(1)
+    )
+    kept, report = tbl.plan_files(predicates={"document_id": (550, None)})
+    assert report["files_total"] == 2
+    assert report["files_scanned"] == 1  # the pre-rename file pruned BY ID
+    got = tbl.read(spark, predicates={"document_id": (550, None)})
+    assert got.count() == 50
+
+
+def test_cas_commit_conflict_retries(spark, tbl):
+    tbl.append(_docs(spark, 0, 10))
+    # simulate a concurrent writer landing the next version first
+    meta = tbl.metadata()
+    loser = dict(meta, version=meta["version"] + 1)
+    tbl._cas_write(loser)
+    tbl.append(_docs(spark, 10, 20))  # must retry past the conflict
+    assert tbl.read(spark).count() == 20
+    with pytest.raises(CommitConflict):
+        tbl._cas_write(dict(meta, version=meta["version"] + 1))
+
+
+def test_compact_rewrites_to_fewer_files(spark, tbl):
+    for lo in range(0, 100, 20):
+        tbl.append(_docs(spark, lo, lo + 20).repartition(4))
+    n_before = tbl.files(spark).count()
+    assert n_before >= 20
+    tbl.compact(spark, target_file_bytes=64 * 1024 * 1024)
+    assert tbl.files(spark).count() < n_before
+    assert tbl.read(spark).count() == 100
+    assert tbl.current_snapshot()["operation"] == "rewrite"
+    # logical content identical
+    ids = sorted(r["doc_id"] for r in tbl.read(spark).collect())
+    assert ids == list(range(100))
+
+
+def test_expire_snapshots_deletes_unreachable_files(spark, tbl):
+    tbl.append(_docs(spark, 0, 30))
+    old_sid = tbl.metadata()["current_snapshot_id"]
+    tbl.overwrite(_docs(spark, 100, 120))
+    old_files = {r["file_path"]
+                 for r in tbl.files(spark, snapshot_id=old_sid).collect()}
+    assert all(os.path.exists(p) for p in old_files)
+    tbl.expire_snapshots(keep_last=1)
+    assert tbl.read(spark).count() == 20
+    assert not any(os.path.exists(p) for p in old_files)
+    with pytest.raises(KeyError):
+        tbl.read(spark, snapshot_id=old_sid)
+    with pytest.raises(ValueError):
+        tbl.expire_snapshots(keep_last=0)
+
+
+def test_empty_table_reads_empty(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "e"), "a int, b string")
+    assert t.read(spark).count() == 0
+    assert t.read(spark).columns == ["a", "b"]
+    kept, report = t.plan_files()
+    assert kept == [] and report["files_scanned"] == 0
+
+
+def test_metadata_versions_are_immutable_files(spark, tbl):
+    tbl.append(_docs(spark, 0, 5))
+    tbl.add_column("x", "int")
+    vs = tbl._versions()
+    assert vs == list(range(1, len(vs) + 1))
+    assert os.path.exists(
+        os.path.join(tbl.meta_dir, _META_FMT.format(vs[-1]))
+    )
+    # every historical version still parseable
+    for v in vs:
+        assert tbl.metadata(v)["version"] == v
