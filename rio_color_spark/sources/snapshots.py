@@ -287,7 +287,10 @@ class SnapshotTable:
             if f.endswith(".parquet")
         )
 
-    def _snapshot_commit(self, operation: str, rows: list[dict]) -> dict:
+    def _snapshot_commit(
+        self, operation: str, rows: list[dict],
+        summary_extra: dict | None = None,
+    ) -> dict:
         snapshot_id = int.from_bytes(os.urandom(7), "big")
         manifest = self._write_manifest(snapshot_id, rows)
 
@@ -302,16 +305,22 @@ class SnapshotTable:
                 "summary": {
                     "total_files": len(rows),
                     "total_rows": sum(r["n_rows"] for r in rows),
+                    **(summary_extra or {}),
                 },
             })
             meta["current_snapshot_id"] = snapshot_id
             return meta
         return self._commit(mut)
 
-    def append(self, df: DataFrame, write_options: dict | None = None) -> dict:
+    def append(
+        self, df: DataFrame, write_options: dict | None = None,
+        summary_extra: dict | None = None,
+    ) -> dict:
         """New snapshot = parent's file list + the newly written files.
         The DataFrame must match the CURRENT schema (missing nullable
-        columns are filled with NULL; extra columns are an error)."""
+        columns are filled with NULL; extra columns are an error).
+        ``summary_extra`` lands in the snapshot summary (e.g. the
+        streaming sink's batch stamp)."""
         meta = self.metadata()
         schema = self.schema(meta=meta)
         df = self._conform(df, schema)
@@ -319,7 +328,7 @@ class SnapshotTable:
         new_rows = self._collect_stats(files, schema)
         cur = self.current_snapshot(meta)
         old_rows = self._manifest_rows(cur) if cur else []
-        return self._snapshot_commit("append", old_rows + new_rows)
+        return self._snapshot_commit("append", old_rows + new_rows, summary_extra)
 
     def overwrite(self, df: DataFrame, write_options: dict | None = None) -> dict:
         """New snapshot whose file list is ONLY the newly written files.

@@ -17,6 +17,8 @@ are net-new, for continuously-arriving image tables:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -173,3 +175,65 @@ def stream_cell_counts_stateful(indexed_stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_to_snapshot_table(
+    spark: SparkSession,
+    input_path: str,
+    table,
+    checkpoint_path: str,
+    transform=None,
+    available_now: bool = True,
+    schema: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """foreachBatch sink into a :class:`~rio_color_spark.sources.
+    snapshots.SnapshotTable`: each micro-batch commits ONE append
+    snapshot stamped with ``(checkpoint, batch_id)`` in its summary.
+
+    Exactly-once at the table level: Spark's foreachBatch is
+    at-least-once (a crash between the table commit and the streaming
+    checkpoint advance replays the batch with the SAME batch id), so the
+    sink consults the snapshot log first and skips any batch id already
+    committed under this checkpoint — the Iceberg connector's
+    idempotent-commit protocol, realized on the facade. Snapshot
+    summaries double as per-batch lineage + row-count metrics (the north
+    rule's checkpoint-table requirement, table-native).
+
+    ``transform`` (optional) maps each micro-batch DataFrame before the
+    append. ``schema`` overrides the source read schema DDL (defaults to
+    the table's current schema). Returns the started StreamingQuery.
+    """
+    ckpt_key = os.path.abspath(checkpoint_path)
+
+    def _committed_batches() -> set[int]:
+        return {
+            s["summary"]["stream_batch_id"]
+            for s in table.metadata()["snapshots"]
+            if s["summary"].get("stream_checkpoint") == ckpt_key
+            and "stream_batch_id" in s["summary"]
+        }
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in _committed_batches():
+            return  # replay of an already-committed batch — idempotent skip
+        out = transform(batch_df) if transform else batch_df
+        table.append(
+            out,
+            summary_extra={
+                "stream_checkpoint": ckpt_key,
+                "stream_batch_id": batch_id,
+            },
+        )
+
+    reader = spark.readStream.schema(schema or table.schema_ddl())
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (
+        reader.parquet(input_path)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

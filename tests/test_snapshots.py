@@ -225,3 +225,99 @@ def test_metadata_versions_are_immutable_files(spark, tbl):
     # every historical version still parseable
     for v in vs:
         assert tbl.metadata(v)["version"] == v
+
+
+# -- streaming sink ----------------------------------------------------------
+
+
+def _stream_src(spark, tmp_path, n_files=3, rows_per=10):
+    src = str(tmp_path / "src")
+    for k in range(n_files):
+        (
+            spark.range(k * rows_per, (k + 1) * rows_per)
+            .selectExpr("id AS doc_id", "'en' AS lang", "id * 2 AS n_chars")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    return src
+
+
+def test_stream_sink_commits_stamped_snapshots(spark, tbl, tmp_path):
+    from rio_color_spark.streaming.pipeline import stream_to_snapshot_table
+
+    src = _stream_src(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_to_snapshot_table(
+        spark, src, tbl, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    assert tbl.read(spark).count() == 30
+    snaps = tbl.metadata()["snapshots"]
+    stamps = [s["summary"].get("stream_batch_id") for s in snaps]
+    assert sorted(stamps) == [0, 1, 2]  # one snapshot per micro-batch
+    assert all(
+        s["summary"]["stream_checkpoint"] == os.path.abspath(ckpt)
+        for s in snaps
+    )
+
+
+def test_stream_sink_restart_is_incremental(spark, tbl, tmp_path):
+    from rio_color_spark.streaming.pipeline import stream_to_snapshot_table
+
+    src = _stream_src(spark, tmp_path, n_files=2)
+    ckpt = str(tmp_path / "ckpt")
+    stream_to_snapshot_table(spark, src, tbl, ckpt).awaitTermination()
+    n1 = tbl.read(spark).count()
+    assert n1 == 20
+    # restart with the same checkpoint: nothing new → no new snapshots
+    v_before = tbl.metadata()["version"]
+    stream_to_snapshot_table(spark, src, tbl, ckpt).awaitTermination()
+    assert tbl.read(spark).count() == 20
+    assert tbl.metadata()["version"] == v_before
+    # new file arrives → exactly the delta lands
+    (
+        spark.range(100, 105)
+        .selectExpr("id AS doc_id", "'de' AS lang", "id AS n_chars")
+        .coalesce(1).write.mode("append").parquet(src)
+    )
+    stream_to_snapshot_table(spark, src, tbl, ckpt).awaitTermination()
+    assert tbl.read(spark).count() == 25
+
+
+def test_stream_sink_skips_replayed_batch(spark, tbl, tmp_path):
+    """The crash window foreachBatch can't close alone: table commit
+    landed, streaming checkpoint didn't → Spark replays batch 0 with the
+    same id. Pre-stamping batch 0 simulates that half-committed state;
+    the sink must skip it instead of double-appending."""
+    from rio_color_spark.streaming.pipeline import stream_to_snapshot_table
+
+    src = _stream_src(spark, tmp_path, n_files=1)
+    ckpt = str(tmp_path / "ckpt")
+    tbl.append(
+        spark.range(1000, 1003).selectExpr(
+            "id AS doc_id", "'xx' AS lang", "id AS n_chars"
+        ),
+        summary_extra={
+            "stream_checkpoint": os.path.abspath(ckpt),
+            "stream_batch_id": 0,
+        },
+    )
+    stream_to_snapshot_table(spark, src, tbl, ckpt).awaitTermination()
+    got = tbl.read(spark)
+    assert got.count() == 3  # only the pre-stamped rows; batch 0 skipped
+    assert got.filter("lang = 'xx'").count() == 3
+
+
+def test_stream_sink_transform_applied(spark, tbl, tmp_path):
+    from rio_color_spark.streaming.pipeline import stream_to_snapshot_table
+    from pyspark.sql import functions as F
+
+    src = _stream_src(spark, tmp_path, n_files=1)
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_to_snapshot_table(
+        spark, src, tbl, ckpt,
+        transform=lambda df: df.withColumn("lang", F.lit("zz")),
+    )
+    q.awaitTermination()
+    assert tbl.read(spark).filter("lang = 'zz'").count() == 10
