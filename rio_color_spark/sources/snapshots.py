@@ -68,6 +68,67 @@ def _spark_type(ddl: str) -> T.DataType:
     return T.StructType.fromDDL(f"`_` {ddl}").fields[0].dataType
 
 
+_TRANSFORMS = ("identity", "bucket", "truncate")
+
+
+def _spec_fields(partition_spec: list[tuple], schema_fields: list[dict]) -> list[dict]:
+    """Normalize user transforms to stored spec fields keyed by field id."""
+    by_name = {f["name"]: f for f in schema_fields}
+    out = []
+    for item in partition_spec:
+        transform, col = item[0], item[1]
+        param = item[2] if len(item) > 2 else None
+        if transform not in _TRANSFORMS:
+            raise ValueError(f"unknown transform {transform!r}")
+        if transform in ("bucket", "truncate") and not param:
+            raise ValueError(f"{transform} needs a positive int param")
+        if col not in by_name:
+            raise KeyError(f"partition source column {col!r} not in schema")
+        src = by_name[col]
+        suffix = {"identity": "", "bucket": "_bucket", "truncate": "_trunc"}
+        out.append({
+            "source_id": src["id"],
+            "transform": transform,
+            "param": param,
+            "name": f"{col}{suffix[transform]}",
+        })
+    return out
+
+
+def _transform_col(field: dict, src_name: str, src_type: str):
+    """The derived partition Column for one spec field.
+
+    bucket uses md5-of-string-cast (the engine's cross-oracle hashing
+    discipline, functions/texthash.py) rather than Iceberg's murmur3:
+    the same bytes hash identically in Spark, on the driver
+    (:func:`_transform_value`), and in DuckDB — a write-path-only cost."""
+    c = F.col(src_name)
+    if field["transform"] == "identity":
+        return c
+    if field["transform"] == "bucket":
+        h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+        return F.pmod(h.cast("long"), F.lit(int(field["param"])))
+    w = int(field["param"])
+    if src_type in ("string", "varchar"):
+        return F.substring(c, 1, w)
+    return c - F.pmod(c, F.lit(w))  # int truncate: floor to W-sized bin
+
+
+def _transform_value(field: dict, src_type: str, value):
+    """Driver-side twin of :func:`_transform_col` (used by pruning)."""
+    if field["transform"] == "identity":
+        return value
+    if field["transform"] == "bucket":
+        import hashlib
+
+        digest = hashlib.md5(str(value).encode()).hexdigest()[:15]
+        return int(digest, 16) % int(field["param"])
+    w = int(field["param"])
+    if src_type in ("string", "varchar"):
+        return str(value)[:w]
+    return int(value) - (int(value) % w)
+
+
 class SnapshotTable:
     """One snapshot-versioned table rooted at ``base``.
 
@@ -87,9 +148,27 @@ class SnapshotTable:
     # -- metadata versions ---------------------------------------------------
 
     @classmethod
-    def create(cls, base: str, schema_ddl: str) -> "SnapshotTable":
+    def create(
+        cls, base: str, schema_ddl: str,
+        partition_spec: list[tuple] | None = None,
+    ) -> "SnapshotTable":
         """Create an empty table with the given DDL schema (``name type,
-        ...``). Fails if a table already exists at ``base``."""
+        ...``). Fails if a table already exists at ``base``.
+
+        ``partition_spec`` is a list of hidden-partitioning transforms
+        (Iceberg partition-spec analogue), each ``(transform, column)``
+        or ``(transform, column, param)``:
+
+        - ``("identity", col)`` — partition by the raw value
+        - ``("bucket", col, N)`` — ``pmod(xxhash64(col), N)`` (Spark's
+          stable hash; the facade's stand-in for Iceberg murmur3)
+        - ``("truncate", col, W)`` — ints to ``W``-sized bins (floor),
+          strings to their first ``W`` chars
+
+        Partitioning is HIDDEN: transforms derive write-time layout and
+        per-file partition tuples in the manifest; source columns stay in
+        the data files and readers never see a partition column.
+        """
         t = cls(base)
         for d in (t.meta_dir, t.manifest_dir, t.data_dir):
             os.makedirs(d, exist_ok=True)
@@ -108,9 +187,37 @@ class SnapshotTable:
             "schemas": [{"schema_id": 0, "fields": fields}],
             "current_snapshot_id": None,
             "snapshots": [],
+            "partition_specs": [
+                {"spec_id": 0,
+                 "fields": _spec_fields(partition_spec or [], fields)}
+            ],
+            "default_spec_id": 0,
         }
         t._cas_write(meta)
         return t
+
+    def set_partition_spec(self, partition_spec: list[tuple]) -> dict:
+        """Spec evolution: future writes use the new spec; files written
+        under older specs keep their recorded spec_id and still prune."""
+        def mut(meta):
+            fields = self.schema(meta=meta)["fields"]
+            spec = {
+                "spec_id": len(meta.get("partition_specs", [])),
+                "fields": _spec_fields(partition_spec, fields),
+            }
+            meta.setdefault("partition_specs", []).append(spec)
+            meta["default_spec_id"] = spec["spec_id"]
+            return meta
+        return self._commit(mut)
+
+    def partition_spec(self, spec_id: int | None = None, meta: dict | None = None) -> dict:
+        meta = meta or self.metadata()
+        specs = meta.get("partition_specs") or [{"spec_id": 0, "fields": []}]
+        sid = meta.get("default_spec_id", 0) if spec_id is None else spec_id
+        for s in specs:
+            if s["spec_id"] == sid:
+                return s
+        raise KeyError(f"no partition spec {sid}")
 
     def _versions(self) -> list[int]:
         if not os.path.isdir(self.meta_dir):
@@ -218,9 +325,13 @@ class SnapshotTable:
 
     # -- writes --------------------------------------------------------------
 
-    def _collect_stats(self, files: list[str], schema: dict) -> list[dict]:
+    def _collect_stats(
+        self, files: list[str], schema: dict,
+        spec_id: int = 0, partitions: dict[str, dict] | None = None,
+    ) -> list[dict]:
         """One manifest row per data file: path, rows, bytes, field-id
-        keyed min/max from the parquet FOOTER (driver-side, no data read)."""
+        keyed min/max from the parquet FOOTER (driver-side, no data read),
+        plus the file's hidden-partition tuple and spec id."""
         import pyarrow.parquet as pq
 
         statable = {
@@ -254,6 +365,8 @@ class SnapshotTable:
                 "schema_id": schema["schema_id"],
                 "lower_bounds": json.dumps(lo),
                 "upper_bounds": json.dumps(hi),
+                "spec_id": spec_id,
+                "partition": json.dumps((partitions or {}).get(path, {})),
             })
         return rows
 
@@ -266,7 +379,11 @@ class SnapshotTable:
             ("file_path", pa.string()), ("n_rows", pa.int64()),
             ("n_bytes", pa.int64()), ("schema_id", pa.int32()),
             ("lower_bounds", pa.string()), ("upper_bounds", pa.string()),
+            ("spec_id", pa.int32()), ("partition", pa.string()),
         ])
+        rows = [
+            {"spec_id": 0, "partition": "{}", **r} for r in rows
+        ]  # older rows re-committed into a new manifest get defaults
         tmp = path + f".{uuid.uuid4().hex}.tmp"
         pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
         os.replace(tmp, path)
@@ -279,13 +396,54 @@ class SnapshotTable:
             os.path.join(self.base, snapshot["manifest"])
         ).to_pylist()
 
-    def _write_data(self, df: DataFrame, write_options: dict | None) -> list[str]:
+    def _write_data(
+        self, df: DataFrame, write_options: dict | None,
+        spec: dict | None = None, schema: dict | None = None,
+    ) -> tuple[list[str], dict[str, dict]]:
+        """Write a commit's data files; returns (paths, path → hidden-
+        partition tuple). With a non-empty spec the derived transform
+        columns drive ``partitionBy`` layout (then vanish — Spark strips
+        partition columns from the data files; source columns remain),
+        and each file's tuple is parsed back from its directory path."""
+        from urllib.parse import unquote
+
         out = os.path.join(self.data_dir, uuid.uuid4().hex)
-        df.write.options(**(write_options or {})).parquet(out)
-        return sorted(
-            os.path.join(out, f) for f in os.listdir(out)
-            if f.endswith(".parquet")
-        )
+        spec_fields = (spec or {}).get("fields") or []
+        if spec_fields:
+            by_id = {f["id"]: f for f in schema["fields"]}
+            names = []
+            for pf in spec_fields:
+                src = by_id[pf["source_id"]]
+                dname = f"_p_{pf['name']}"
+                df = df.withColumn(
+                    dname, _transform_col(pf, src["name"], src["type"])
+                )
+                names.append(dname)
+            df.write.options(**(write_options or {})).partitionBy(
+                *names
+            ).parquet(out)
+        else:
+            df.write.options(**(write_options or {})).parquet(out)
+        paths: list[str] = []
+        partitions: dict[str, dict] = {}
+        for root, _dirs, fnames in os.walk(out):
+            for f in fnames:
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, f)
+                paths.append(p)
+                tup: dict[str, object] = {}
+                for seg in os.path.relpath(root, out).split(os.sep):
+                    if "=" not in seg:
+                        continue
+                    k, v = seg.split("=", 1)
+                    if k.startswith("_p_"):
+                        v = unquote(v)
+                        tup[k[3:]] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                        )
+                partitions[p] = tup
+        return sorted(paths), partitions
 
     def _snapshot_commit(
         self, operation: str, rows: list[dict],
@@ -323,9 +481,10 @@ class SnapshotTable:
         streaming sink's batch stamp)."""
         meta = self.metadata()
         schema = self.schema(meta=meta)
+        spec = self.partition_spec(meta=meta)
         df = self._conform(df, schema)
-        files = self._write_data(df, write_options)
-        new_rows = self._collect_stats(files, schema)
+        files, parts = self._write_data(df, write_options, spec, schema)
+        new_rows = self._collect_stats(files, schema, spec["spec_id"], parts)
         cur = self.current_snapshot(meta)
         old_rows = self._manifest_rows(cur) if cur else []
         return self._snapshot_commit("append", old_rows + new_rows, summary_extra)
@@ -333,10 +492,15 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame, write_options: dict | None = None) -> dict:
         """New snapshot whose file list is ONLY the newly written files.
         Old files stay on disk for time travel until expire_snapshots."""
-        schema = self.schema()
+        meta = self.metadata()
+        schema = self.schema(meta=meta)
+        spec = self.partition_spec(meta=meta)
         df = self._conform(df, schema)
-        files = self._write_data(df, write_options)
-        return self._snapshot_commit("overwrite", self._collect_stats(files, schema))
+        files, parts = self._write_data(df, write_options, spec, schema)
+        return self._snapshot_commit(
+            "overwrite",
+            self._collect_stats(files, schema, spec["spec_id"], parts),
+        )
 
     def _conform(self, df: DataFrame, schema: dict) -> DataFrame:
         cols = []
@@ -401,8 +565,9 @@ class SnapshotTable:
 
         ``predicates`` maps read-schema column name → (lo, hi) bound
         (either side may be None; names resolve to field ids, so pruning
-        works across renames). A file is kept unless its stats prove no
-        row can match — exactly Iceberg's inclusive metrics evaluator.
+        works across renames). A file is kept unless its stats OR its
+        hidden-partition tuple prove no row can match — Iceberg's
+        inclusive metrics evaluator + partition-spec evaluator.
         """
         meta = self.metadata()
         snap = self._resolve_snapshot(meta, snapshot_id, as_of_ms)
@@ -412,6 +577,7 @@ class SnapshotTable:
             self._read_schema_id(meta, snap, snapshot_id, as_of_ms), meta
         )
         name_to_id = {f["name"]: f["id"] for f in read_schema["fields"]}
+        type_of_id = {f["id"]: f["type"] for f in read_schema["fields"]}
         rows = self._manifest_rows(snap)
         kept = []
         for r in rows:
@@ -419,13 +585,18 @@ class SnapshotTable:
             hi = json.loads(r["upper_bounds"])
             keep = True
             for name, (p_lo, p_hi) in (predicates or {}).items():
-                fid = str(name_to_id.get(name, -1))
-                if fid not in lo:  # no stats → cannot prune
-                    continue
-                if p_lo is not None and hi[fid] < p_lo:
-                    keep = False
-                    break
-                if p_hi is not None and lo[fid] > p_hi:
+                fid = name_to_id.get(name, -1)
+                sfid = str(fid)
+                if sfid in lo:
+                    if p_lo is not None and hi[sfid] < p_lo:
+                        keep = False
+                        break
+                    if p_hi is not None and lo[sfid] > p_hi:
+                        keep = False
+                        break
+                if not self._partition_may_match(
+                    meta, r, fid, type_of_id.get(fid), p_lo, p_hi
+                ):
                     keep = False
                     break
             if keep:
@@ -438,6 +609,57 @@ class SnapshotTable:
             "rows_scanned": sum(r["n_rows"] for r in kept),
         }
         return kept, report
+
+    def _partition_may_match(
+        self, meta: dict, row: dict, fid: int, src_type: str | None,
+        p_lo, p_hi,
+    ) -> bool:
+        """Partition-spec evaluator: can any row of this file satisfy the
+        predicate, judged from the file's hidden-partition tuple alone?
+        Conservative: unknown spec / null tuple value / undecidable
+        transform → True (never prunes a matching file)."""
+        part = json.loads(row.get("partition") or "{}")
+        if not part or src_type is None:
+            return True
+        try:
+            spec = self.partition_spec(row.get("spec_id", 0), meta)
+        except KeyError:
+            return True
+        is_str = src_type in ("string", "varchar")
+        for pf in spec["fields"]:
+            if pf["source_id"] != fid:
+                continue
+            raw = part.get(pf["name"])
+            if raw is None:
+                continue  # null partition value — cannot prune
+            t = pf["transform"]
+            if t == "identity":
+                v = raw if is_str else int(raw)
+                if p_lo is not None and v < p_lo:
+                    return False
+                if p_hi is not None and v > p_hi:
+                    return False
+            elif t == "truncate":
+                w = int(pf["param"])
+                if is_str:
+                    # every value in the file starts with `raw` (w chars):
+                    # prefix > hi ⇒ all values > hi; prefix < lo's prefix
+                    # ⇒ all values < lo
+                    if p_hi is not None and raw > str(p_hi):
+                        return False
+                    if p_lo is not None and raw < str(p_lo)[:w]:
+                        return False
+                else:
+                    b = int(raw)
+                    if p_hi is not None and b > p_hi:
+                        return False
+                    if p_lo is not None and b + w - 1 < p_lo:
+                        return False
+            elif t == "bucket" and p_lo is not None and p_lo == p_hi:
+                # point predicate: the row's bucket is fully determined
+                if int(raw) != _transform_value(pf, src_type, p_lo):
+                    return False
+        return True
 
     def read(
         self,
@@ -523,11 +745,13 @@ class SnapshotTable:
         return spark.createDataFrame(
             [
                 (r["file_path"], r["n_rows"], r["n_bytes"], r["schema_id"],
-                 r["lower_bounds"], r["upper_bounds"])
+                 r["lower_bounds"], r["upper_bounds"],
+                 r.get("spec_id", 0), r.get("partition", "{}"))
                 for r in kept
             ],
             "file_path string, n_rows long, n_bytes long, schema_id int, "
-            "lower_bounds string, upper_bounds string",
+            "lower_bounds string, upper_bounds string, spec_id int, "
+            "partition string",
         )
 
     # -- maintenance ---------------------------------------------------------
@@ -542,16 +766,33 @@ class SnapshotTable:
         ``rewrite`` snapshot (same logical rows; read plans shrink).
         The rewrite normalizes every row to the CURRENT schema, so a
         post-compaction table is single-schema-generation again."""
-        cur = self.current_snapshot()
+        meta = self.metadata()
+        cur = self.current_snapshot(meta)
         if cur is None:
             raise ValueError("empty table")
         rows = self._manifest_rows(cur)
         total = sum(r["n_bytes"] for r in rows)
         n_out = max(1, -(-total // target_file_bytes))
-        df = self.read(spark, snapshot_id=cur["snapshot_id"]).repartition(int(n_out))
-        schema = self.schema()
-        files = self._write_data(df, write_options)
-        return self._snapshot_commit("rewrite", self._collect_stats(files, schema))
+        schema = self.schema(meta=meta)
+        spec = self.partition_spec(meta=meta)
+        df = self.read(spark)  # current read → current schema
+        if spec["fields"]:
+            # cluster by the partition transforms so each partition value
+            # lands in one task → one file per value, not n_out per value
+            by_id = {f["id"]: f for f in schema["fields"]}
+            cols = [
+                _transform_col(pf, by_id[pf["source_id"]]["name"],
+                               by_id[pf["source_id"]]["type"])
+                for pf in spec["fields"]
+            ]
+            df = df.repartition(int(n_out), *cols)
+        else:
+            df = df.repartition(int(n_out))
+        files, parts = self._write_data(df, write_options, spec, schema)
+        return self._snapshot_commit(
+            "rewrite",
+            self._collect_stats(files, schema, spec["spec_id"], parts),
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the newest ``keep_last`` snapshots and delete data

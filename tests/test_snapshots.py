@@ -321,3 +321,128 @@ def test_stream_sink_transform_applied(spark, tbl, tmp_path):
     )
     q.awaitTermination()
     assert tbl.read(spark).filter("lang = 'zz'").count() == 10
+
+
+# -- hidden partitioning -----------------------------------------------------
+
+
+def test_bucket_partitioning_prunes_point_lookups(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "b"), "doc_id bigint, lang string, n_chars bigint",
+        partition_spec=[("bucket", "doc_id", 8)],
+    )
+    t.append(_docs(spark, 0, 200))
+    # hidden: readers never see a partition column
+    assert t.read(spark).columns == ["doc_id", "lang", "n_chars"]
+    n_files = t.files(spark).count()
+    assert n_files >= 8  # one file set per bucket value
+    kept, report = t.plan_files(predicates={"doc_id": (42, 42)})
+    assert report["files_scanned"] < report["files_total"]
+    got = t.read(spark, predicates={"doc_id": (42, 42)})
+    assert got.count() == 1 and got.first()["doc_id"] == 42
+    # every doc still findable through its bucket (twin-hash consistency)
+    for v in (0, 7, 55, 199):
+        assert t.read(spark, predicates={"doc_id": (v, v)}).count() == 1
+
+
+def test_bucket_driver_twin_matches_spark(spark, tmp_path):
+    """_transform_value (driver) must equal _transform_col (Spark) — the
+    pruning decision hangs on it."""
+    from pyspark.sql import functions as F
+
+    from rio_color_spark.sources.snapshots import (
+        _transform_col,
+        _transform_value,
+    )
+
+    pf = {"transform": "bucket", "param": 16, "name": "x_bucket"}
+    df = spark.range(0, 500, 7).select(
+        F.col("id").alias("x"),
+        _transform_col(pf, "x", "bigint").alias("b"),
+    )
+    for r in df.collect():
+        assert r["b"] == _transform_value(pf, "bigint", r["x"])
+    # string source too
+    sdf = spark.range(0, 50).selectExpr("concat('doc-', id) AS x").select(
+        "x", _transform_col(pf, "x", "string").alias("b")
+    )
+    for r in sdf.collect():
+        assert r["b"] == _transform_value(pf, "string", r["x"])
+
+
+def test_truncate_partitioning_prunes_ranges(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "tr"), "doc_id bigint, lang string, n_chars bigint",
+        partition_spec=[("truncate", "doc_id", 100)],
+    )
+    t.append(_docs(spark, 0, 300))
+    kept, report = t.plan_files(predicates={"doc_id": (120, 180)})
+    assert report["files_total"] >= 3  # bins 0, 100, 200
+    assert all(
+        '_p_doc_id_trunc=100' in r["file_path"] for r in kept
+    )
+    got = t.read(spark, predicates={"doc_id": (120, 180)})
+    assert got.count() == 61
+
+
+def test_identity_string_partitioning(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "ids"), "doc_id bigint, lang string, n_chars bigint",
+        partition_spec=[("identity", "lang")],
+    )
+    t.append(_docs(spark, 0, 90))
+    kept, report = t.plan_files(predicates={"lang": ("de", "de")})
+    assert report["files_scanned"] < report["files_total"]
+    got = t.read(spark, predicates={"lang": ("de", "de")})
+    assert got.count() == 30
+    assert got.filter("lang != 'de'").count() == 0
+
+
+def test_spec_evolution_old_files_stay_readable(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "ev"), "doc_id bigint, lang string, n_chars bigint"
+    )
+    t.append(_docs(spark, 0, 50).coalesce(1))  # unpartitioned generation
+    t.set_partition_spec([("bucket", "doc_id", 4)])
+    t.append(_docs(spark, 50, 100))  # bucketed generation
+    assert t.read(spark).count() == 100
+    # point lookup: the unpartitioned file has no tuple → kept
+    # conservatively; bucketed files prune to one bucket
+    kept, report = t.plan_files(predicates={"doc_id": (77, 77)})
+    assert report["files_scanned"] < report["files_total"]
+    assert t.read(spark, predicates={"doc_id": (77, 77)}).count() == 1
+    specs = t.metadata()["partition_specs"]
+    assert [s["spec_id"] for s in specs] == [0, 1]
+
+
+def test_null_partition_value_kept_conservatively(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "nul"), "doc_id bigint, lang string",
+        partition_spec=[("truncate", "doc_id", 10)],
+    )
+    t.append(
+        spark.sql("SELECT CAST(NULL AS BIGINT) AS doc_id, 'xx' AS lang "
+                  "UNION ALL SELECT 5L, 'en'")
+    )
+    # the null-partition file survives every predicate
+    kept, report = t.plan_files(predicates={"doc_id": (1000, 2000)})
+    assert any("HIVE_DEFAULT" in r["file_path"] for r in kept)
+    assert t.read(spark).count() == 2
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "cp"), "doc_id bigint, lang string, n_chars bigint",
+        partition_spec=[("bucket", "doc_id", 4)],
+    )
+    for lo in range(0, 80, 20):
+        t.append(_docs(spark, lo, lo + 20))
+    n_before = t.files(spark).count()
+    t.compact(spark)
+    n_after = t.files(spark).count()
+    assert n_after < n_before
+    assert t.read(spark).count() == 80
+    # compacted files still carry partition tuples and still prune
+    kept, report = t.plan_files(predicates={"doc_id": (13, 13)})
+    assert report["files_scanned"] < report["files_total"]
+    assert t.read(spark, predicates={"doc_id": (13, 13)}).count() == 1
