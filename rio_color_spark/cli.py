@@ -142,6 +142,39 @@ def _build_parser() -> argparse.ArgumentParser:
     e.add_argument("dst_tif")
     common["co"](e)
     common["jobs"](e)
+
+    t = sub.add_parser(
+        "table",
+        help="Snapshot-table management (sources/snapshots.py): create/"
+        "append/history/files/compact/expire/evolve",
+    )
+    t.add_argument(
+        "action",
+        choices=["create", "append", "history", "files", "compact",
+                 "expire", "evolve"],
+    )
+    t.add_argument("base", help="table root directory")
+    t.add_argument("src", nargs="?", help="append: source parquet path")
+    t.add_argument("--schema", help="create: DDL schema 'name type, ...'")
+    t.add_argument(
+        "--partition",
+        action="append",
+        default=[],
+        metavar="TRANSFORM:COL[:PARAM]",
+        help="create: hidden-partition transform (repeatable), e.g. "
+        "bucket:doc_id:16, truncate:ts:3600, identity:lang",
+    )
+    t.add_argument("--keep", type=int, default=1,
+                   help="expire: snapshots to retain (default 1)")
+    t.add_argument("--add", metavar="NAME:TYPE",
+                   help="evolve: add a column")
+    t.add_argument("--drop", metavar="NAME", help="evolve: drop a column")
+    t.add_argument("--rename", metavar="OLD:NEW",
+                   help="evolve: rename a column")
+    t.add_argument("--snapshot-id", type=int, default=None,
+                   help="files: plan a specific snapshot")
+    common["jobs"](t)
+    common["co"](t)
     return p
 
 
@@ -210,6 +243,101 @@ def _run(src: str, dst: str, ops: str, out_dtype, jobs: int, co: dict) -> None:
     finally:
         if owned:
             spark.stop()
+
+
+def _table_cmd(args, parser) -> int:
+    """Snapshot-table management. Metadata-only actions (create, history,
+    files, expire, evolve) never start Spark — they are driver-side
+    manifest/metadata reads, exactly like Iceberg's catalog operations;
+    append and compact run distributed."""
+    import json as _json
+
+    from rio_color_spark.sources.snapshots import SnapshotTable
+
+    if args.action == "create":
+        if not args.schema:
+            parser.error("table create needs --schema 'name type, ...'")
+        spec = []
+        for p in args.partition:
+            bits = p.split(":")
+            if len(bits) == 2:
+                spec.append((bits[0], bits[1]))
+            elif len(bits) == 3:
+                spec.append((bits[0], bits[1], int(bits[2])))
+            else:
+                parser.error(f"--partition expects TRANSFORM:COL[:PARAM], got {p!r}")
+        try:
+            SnapshotTable.create(args.base, args.schema, partition_spec=spec or None)
+        except (FileExistsError, KeyError, ValueError) as e:
+            parser.error(str(e))
+        return 0
+
+    t = SnapshotTable(args.base)
+    if args.action == "history":
+        for s in t.metadata()["snapshots"]:
+            print(_json.dumps({
+                "snapshot_id": s["snapshot_id"],
+                "timestamp_ms": s["timestamp_ms"],
+                "operation": s["operation"],
+                "schema_id": s["schema_id"],
+                **s["summary"],
+            }))
+        return 0
+    if args.action == "files":
+        kept, report = t.plan_files(snapshot_id=args.snapshot_id)
+        for r in kept:
+            print(_json.dumps({
+                "file_path": r["file_path"], "n_rows": r["n_rows"],
+                "n_bytes": r["n_bytes"], "schema_id": r["schema_id"],
+                "spec_id": r.get("spec_id", 0),
+                "partition": r.get("partition", "{}"),
+            }))
+        print(_json.dumps(report))
+        return 0
+    if args.action == "expire":
+        new = t.expire_snapshots(keep_last=args.keep)
+        print(_json.dumps({"version": new["version"],
+                           "snapshots": len(new["snapshots"])}))
+        return 0
+    if args.action == "evolve":
+        if args.add:
+            name, _, type_ddl = args.add.partition(":")
+            if not type_ddl:
+                parser.error("--add expects NAME:TYPE")
+            t.add_column(name, type_ddl)
+        elif args.drop:
+            t.drop_column(args.drop)
+        elif args.rename:
+            old, _, new = args.rename.partition(":")
+            if not new:
+                parser.error("--rename expects OLD:NEW")
+            t.rename_column(old, new)
+        else:
+            parser.error("evolve needs --add, --drop, or --rename")
+        print(t.schema_ddl())
+        return 0
+
+    # append / compact run distributed
+    jobs = check_jobs(args.jobs, parser)
+    spark, owned = _session(jobs)
+    try:
+        if args.action == "append":
+            if not args.src:
+                parser.error("table append needs a source parquet path")
+            snap = t.append(
+                spark.read.parquet(args.src),
+                write_options=_co_pairs(args.co, parser),
+            )
+            print(_json.dumps({"version": snap["version"],
+                               "snapshot_id": snap["current_snapshot_id"]}))
+        else:  # compact
+            snap = t.compact(spark, write_options=_co_pairs(args.co, parser))
+            print(_json.dumps({"version": snap["version"],
+                               "snapshot_id": snap["current_snapshot_id"]}))
+    finally:
+        if owned:
+            spark.stop()
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -288,6 +416,9 @@ def main(argv: list[str] | None = None) -> int:
             if owned:
                 spark.stop()
         return 0
+
+    if args.command == "table":
+        return _table_cmd(args, parser)
 
     # atmos
     from rio_color_spark.functions.operations import simple_atmo_opstring

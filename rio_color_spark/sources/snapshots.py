@@ -45,12 +45,12 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 _META_FMT = "v{:08d}.metadata.json"
 
@@ -64,8 +64,96 @@ class CommitConflict(RuntimeError):
     """Another writer committed the version we were about to write."""
 
 
-def _spark_type(ddl: str) -> T.DataType:
-    return T.StructType.fromDDL(f"`_` {ddl}").fields[0].dataType
+# -- Spark-free DDL parsing ---------------------------------------------------
+# PySpark 4.x routes StructType.fromDDL through the active SparkContext, so
+# metadata-only operations (create / add_column) would silently grow a JVM
+# dependency — breaking the Iceberg posture that catalog ops are driver-side
+# metadata edits. This tiny recursive-descent parser accepts the same DDL the
+# engine uses and emits Spark's `simpleString` normalization byte-for-byte
+# (pinned against fromDDL in tests/test_snapshots.py).
+
+_DDL_ALIASES = {
+    "boolean": "boolean", "byte": "tinyint", "tinyint": "tinyint",
+    "short": "smallint", "smallint": "smallint", "int": "int",
+    "integer": "int", "long": "bigint", "bigint": "bigint",
+    "float": "float", "real": "float", "double": "double",
+    "string": "string", "binary": "binary", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp_ntz",
+}
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at bracket depth 0 (ignores <>, () nesting)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _parse_type_ddl(ddl: str) -> str:
+    """Parse one type DDL → Spark ``simpleString``; raises ValueError."""
+    s = ddl.strip()
+    low = s.lower()
+    if low in _DDL_ALIASES:
+        return _DDL_ALIASES[low]
+    if low == "decimal":
+        return "decimal(10,0)"
+    if low.startswith("decimal(") and low.endswith(")"):
+        args = [a.strip() for a in low[8:-1].split(",")]
+        if not (1 <= len(args) <= 2) or not all(a.isdigit() for a in args):
+            raise ValueError(f"bad decimal type: {ddl!r}")
+        p = int(args[0])
+        sc = int(args[1]) if len(args) == 2 else 0
+        if not (0 < p <= 38 and 0 <= sc <= p):
+            raise ValueError(f"bad decimal precision/scale: {ddl!r}")
+        return f"decimal({p},{sc})"
+    if low.startswith("array<") and s.endswith(">"):
+        return f"array<{_parse_type_ddl(s[6:-1])}>"
+    if low.startswith("map<") and s.endswith(">"):
+        kv = _split_top(s[4:-1])
+        if len(kv) != 2:
+            raise ValueError(f"map needs exactly key,value: {ddl!r}")
+        return f"map<{_parse_type_ddl(kv[0])},{_parse_type_ddl(kv[1])}>"
+    if low.startswith("struct<") and s.endswith(">"):
+        inner = s[7:-1].strip()
+        fields = _parse_fields_ddl(inner) if inner else []
+        return "struct<" + ",".join(f"{n}:{t}" for n, t in fields) + ">"
+    raise ValueError(f"unsupported type DDL: {ddl!r}")
+
+
+def _parse_fields_ddl(ddl: str) -> list[tuple[str, str]]:
+    """Parse ``name type, name type`` (or ``name: type``) → [(name,
+    simpleString)]. Backquoted names allowed; no backquotes in output
+    (matches fromDDL's field naming)."""
+    out = []
+    for part in _split_top(ddl):
+        p = part.strip()
+        if not p:
+            raise ValueError(f"empty field in DDL: {ddl!r}")
+        if p.startswith("`"):
+            end = p.find("`", 1)
+            if end < 0:
+                raise ValueError(f"unterminated backquote: {part!r}")
+            name, rest = p[1:end], p[end + 1:]
+        else:
+            m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", p)
+            if not m:
+                raise ValueError(f"bad field name in: {part!r}")
+            name, rest = m.group(0), p[m.end():]
+        rest = rest.lstrip()
+        if rest.startswith(":"):
+            rest = rest[1:]
+        if not rest.strip():
+            raise ValueError(f"field {name!r} missing a type")
+        out.append((name, _parse_type_ddl(rest)))
+    return out
 
 
 _TRANSFORMS = ("identity", "bucket", "truncate")
@@ -175,8 +263,8 @@ class SnapshotTable:
         if t._versions():
             raise FileExistsError(f"table already exists at {base}")
         fields = [
-            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
-            for i, f in enumerate(T.StructType.fromDDL(schema_ddl).fields)
+            {"id": i + 1, "name": name, "type": type_ss}
+            for i, (name, type_ss) in enumerate(_parse_fields_ddl(schema_ddl))
         ]
         meta = {
             "format_version": 1,
@@ -293,13 +381,13 @@ class SnapshotTable:
 
     def add_column(self, name: str, type_ddl: str) -> dict:
         """Metadata-only: existing files read the new column as NULL."""
-        _spark_type(type_ddl)  # validate
+        type_ss = _parse_type_ddl(type_ddl)  # validate + normalize, no Spark
 
         def mut(fields, last_id):
             if any(f["name"] == name for f in fields):
                 raise ValueError(f"column {name!r} exists")
             return fields + [{"id": last_id + 1, "name": name,
-                              "type": type_ddl}], last_id + 1
+                              "type": type_ss}], last_id + 1
         return self._evolve(mut)
 
     def drop_column(self, name: str) -> dict:
@@ -814,14 +902,20 @@ class SnapshotTable:
             p = os.path.join(self.manifest_dir, name)
             if p.endswith(".parquet") and p not in live_manifests:
                 os.unlink(p)
-        for d in os.listdir(self.data_dir):
-            dd = os.path.join(self.data_dir, d)
-            for f in os.listdir(dd):
-                p = os.path.join(dd, f)
+        # Bottom-up walk: hidden partitioning nests data files under
+        # _p_col=value/ dirs, so dead files can be arbitrarily deep and a
+        # dir is removable only once every child dir has been handled.
+        for root, dirs, fnames in os.walk(self.data_dir, topdown=False):
+            for f in fnames:
+                p = os.path.join(root, f)
                 if f.endswith(".parquet") and p not in live_files:
                     os.unlink(p)
-            if not any(f.endswith(".parquet") for f in os.listdir(dd)):
-                for f in os.listdir(dd):  # _SUCCESS, .crc
-                    os.unlink(os.path.join(dd, f))
-                os.rmdir(dd)
+            if root == self.data_dir:
+                continue
+            left = os.listdir(root)
+            if not any(f.endswith(".parquet") or os.path.isdir(
+                    os.path.join(root, f)) for f in left):
+                for f in left:  # _SUCCESS, .crc
+                    os.unlink(os.path.join(root, f))
+                os.rmdir(root)
         return new

@@ -148,3 +148,63 @@ def test_optimize_cli_golden(spark, tmp_path, capsys):
     assert out[0] == f"rio color src dst {OPTIMIZE_GOLDEN['ops']}"
     assert out[1] == f"score: {OPTIMIZE_GOLDEN['score']:.6f}"
     assert out[2] == f"initial_score: {OPTIMIZE_GOLDEN['initial_score']:.6f}"
+
+
+def test_table_subcommand_lifecycle(spark, tmp_path, capsys):
+    """table create → append → history/files → evolve → compact → expire,
+    metadata actions Spark-free (driver-side, like Iceberg catalog ops)."""
+    import json
+
+    base = str(tmp_path / "snap_tbl")
+    src = str(tmp_path / "src_pq")
+    spark.range(0, 60).selectExpr(
+        "id AS doc_id", "'en' AS lang", "id * 2 AS n_chars"
+    ).write.parquet(src)
+
+    assert main(["table", "create", base,
+                 "--schema", "doc_id bigint, lang string, n_chars bigint",
+                 "--partition", "bucket:doc_id:4"]) == 0
+    assert main(["table", "append", base, src, "-j", "2"]) == 0
+    capsys.readouterr()
+
+    assert main(["table", "history", base]) == 0
+    hist = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(hist) == 1 and hist[0]["operation"] == "append"
+    assert hist[0]["total_rows"] == 60
+
+    assert main(["table", "files", base]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    report = json.loads(lines[-1])
+    assert report["files_total"] == len(lines) - 1 >= 4  # one per bucket
+
+    assert main(["table", "evolve", base, "--add", "quality:double"]) == 0
+    assert "quality double" in capsys.readouterr().out
+
+    assert main(["table", "compact", base, "-j", "2"]) == 0
+    assert main(["table", "expire", base, "--keep", "1"]) == 0
+    capsys.readouterr()
+    assert main(["table", "history", base]) == 0
+    hist = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(hist) == 1 and hist[0]["operation"] == "rewrite"
+
+    from rio_color_spark.sources.snapshots import SnapshotTable
+    got = SnapshotTable(base).read(spark)
+    assert got.count() == 60 and "quality" in got.columns
+
+
+def test_table_subcommand_errors(tmp_path):
+    base = str(tmp_path / "t2")
+    with pytest.raises(SystemExit) as e:
+        main(["table", "create", base])  # no schema
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        main(["table", "create", base, "--schema", "a int",
+              "--partition", "bogus"])
+    assert e.value.code == 2
+    assert main(["table", "create", base, "--schema", "a int"]) == 0
+    with pytest.raises(SystemExit) as e:
+        main(["table", "append", base])  # no src
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        main(["table", "evolve", base])  # no op
+    assert e.value.code == 2

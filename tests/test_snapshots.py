@@ -206,6 +206,92 @@ def test_expire_snapshots_deletes_unreachable_files(spark, tbl):
         tbl.expire_snapshots(keep_last=0)
 
 
+def test_expire_cleans_nested_partition_dirs(spark, tmp_path):
+    """Dead files under hidden-partition subdirs (data/<uuid>/_p_x=v/...)
+    are deleted and their emptied dirs removed — the one-level walk this
+    replaces silently skipped them."""
+    t = SnapshotTable.create(
+        str(tmp_path / "tp"), "doc_id bigint, lang string, n_chars bigint",
+        partition_spec=[("bucket", "doc_id", 4)],
+    )
+    t.append(_docs(spark, 0, 40))
+    old_sid = t.metadata()["current_snapshot_id"]
+    t.overwrite(_docs(spark, 100, 120))
+    old_files = {r["file_path"]
+                 for r in t.files(spark, snapshot_id=old_sid).collect()}
+    assert old_files and all("_p_" in p for p in old_files)
+    t.expire_snapshots(keep_last=1)
+    assert not any(os.path.exists(p) for p in old_files)
+    # the dead commit's whole uuid dir tree is gone; live one intact
+    dead_roots = {p.split("/_p_")[0] for p in old_files}
+    assert not any(os.path.exists(d) for d in dead_roots)
+    assert t.read(spark).count() == 20
+
+
+def test_ddl_parser_matches_fromddl(spark):
+    """The Spark-free DDL parser must emit fromDDL's simpleString
+    normalization byte-for-byte — manifests written with and without an
+    active session must agree."""
+    from pyspark.sql import types as T
+
+    from rio_color_spark.sources.snapshots import _parse_fields_ddl
+
+    ddls = [
+        "a int, b string",
+        "doc_id bigint, lang string, n_chars bigint",
+        "x INTEGER, y LONG, z Short, w BYTE, r REAL",
+        "f float, d double, bin binary, dt date, ts timestamp, "
+        "tn timestamp_ntz, ok boolean",
+        "p decimal(12,3), q decimal(5), plain decimal",
+        "emb array<float>, tags array<string>, m map<string, int>",
+        "nested struct<a: int, b: array<double>>, "
+        "deep array<struct<k:string, v:map<string,bigint>>>",
+        "`weird name` string, `x` int",
+        "colon_style: int, other: string",
+    ]
+    for ddl in ddls:
+        ref = [(f.name, f.dataType.simpleString())
+               for f in T.StructType.fromDDL(ddl).fields]
+        assert _parse_fields_ddl(ddl) == ref, ddl
+    for bad in ["a", "a notatype", "a decimal(40,2)", "a array<int",
+                "a map<int>", ", b int", "1bad int"]:
+        with pytest.raises(ValueError):
+            _parse_fields_ddl(bad)
+
+
+def test_metadata_ops_need_no_spark(tmp_path):
+    """create / evolve / history / plan_files / expire run in a bare
+    interpreter with no SparkSession — the Iceberg catalog-op posture."""
+    import subprocess
+    import sys
+
+    code = f"""
+import sys
+sys.path.insert(0, {str(os.path.dirname(os.path.dirname(__file__)))!r})
+from rio_color_spark.sources.snapshots import SnapshotTable
+import pyspark
+assert not pyspark.sql.SparkSession.getActiveSession()
+t = SnapshotTable.create(
+    {str(tmp_path / 'nospark')!r},
+    "doc_id bigint, emb array<float>, lang string",
+    partition_spec=[("bucket", "doc_id", 4)],
+)
+t.add_column("quality", "double")
+t.rename_column("lang", "language")
+t.drop_column("emb")
+assert t.schema_ddl() == "doc_id bigint, language string, quality double"
+kept, report = t.plan_files()
+assert kept == []
+t.expire_snapshots(keep_last=1)
+assert not pyspark.sql.SparkSession.getActiveSession()
+print("NOSPARK_OK")
+"""
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "NOSPARK_OK" in r.stdout
+
+
 def test_empty_table_reads_empty(spark, tmp_path):
     t = SnapshotTable.create(str(tmp_path / "e"), "a int, b string")
     assert t.read(spark).count() == 0
