@@ -173,6 +173,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="evolve: rename a column")
     t.add_argument("--snapshot-id", type=int, default=None,
                    help="files: plan a specific snapshot")
+    t.add_argument("--sort", action="append", default=[], metavar="COL",
+                   help="compact: cluster the rewrite by COL (repeatable; "
+                   "range-sorted files → min/max stats prune reads)")
     common["jobs"](t)
     common["co"](t)
     return p
@@ -331,7 +334,8 @@ def _table_cmd(args, parser) -> int:
             print(_json.dumps({"version": snap["version"],
                                "snapshot_id": snap["current_snapshot_id"]}))
         else:  # compact
-            snap = t.compact(spark, write_options=_co_pairs(args.co, parser))
+            snap = t.compact(spark, write_options=_co_pairs(args.co, parser),
+                             sort_by=args.sort or None)
             print(_json.dumps({"version": snap["version"],
                                "snapshot_id": snap["current_snapshot_id"]}))
     finally:

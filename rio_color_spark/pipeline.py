@@ -133,6 +133,7 @@ def run_pipeline(
     knn_level: int = 4,
     fail_after: int | None = None,
     write_options: dict | None = None,
+    snapshot_base: str | None = None,
 ) -> CheckpointedWriter:
     """Run (or resume) the pipeline; returns the writer for readback.
 
@@ -140,6 +141,17 @@ def run_pipeline(
     scan per input byte) or a DataFrame. ``fail_after`` simulates a crash
     after N chunk commits (resume tests). ``write_options`` are creation
     options applied to every chunk write (e.g. compression codec).
+
+    ``snapshot_base`` additionally maintains a
+    :class:`~rio_color_spark.sources.snapshots.SnapshotTable` over the
+    colored-images output: each chunk's already-written parquet files are
+    registered via the metadata-only ``add_files`` commit (zero data
+    copy), stamped ``pipeline_chunk`` in the snapshot summary. The
+    snapshot log then gives the pipeline output atomic visibility,
+    per-chunk time travel, and a second idempotence ledger — a crash
+    between the chunk manifest commit and the snapshot commit heals on
+    the next run (any committed chunk missing from the log is re-added;
+    any chunk already in the log is skipped).
     """
     writer = CheckpointedWriter(out_base, write_options)
     readers, fps = chunk_plan(spark, images, n_chunks)
@@ -156,6 +168,15 @@ def run_pipeline(
                 f"(manifest {want}, current {fps[k]}) — the source was "
                 "rewritten/compacted; restart from a fresh out_base"
             )
+    snap = _SnapshotSink(snapshot_base) if snapshot_base else None
+    if snap:
+        # heal: chunks whose manifest commit landed but whose snapshot
+        # commit didn't (crash in the window between the two ledgers)
+        for k, rec in sorted(done.items()):
+            path = (rec.get("paths") or {}).get("images")
+            if path:
+                snap.commit_chunk(k, path, rec.get("stripe_md5"))
+
     completed = 0
     for k in range(n_chunks):
         if k in done:
@@ -194,7 +215,56 @@ def run_pipeline(
         writer.commit_chunk(
             k, paths, extra={"stripe_md5": fps[k]} if fps[k] else None
         )
+        if snap:
+            snap.commit_chunk(k, paths["images"], fps[k] or None)
         completed += 1
         if fail_after is not None and completed >= fail_after:
             raise RuntimeError(f"simulated crash after {completed} chunks")
     return writer
+
+
+class _SnapshotSink:
+    """Registers pipeline chunk outputs in a SnapshotTable via metadata-
+    only ``add_files`` commits, idempotent by ``pipeline_chunk``."""
+
+    def __init__(self, base: str):
+        self.base = base
+        self._tbl = None
+
+    def _table(self, sample_file: str):
+        """Open the table, creating it on first use from a written file's
+        footer schema (arrow → Spark simpleString via an empty read)."""
+        from rio_color_spark.sources.snapshots import SnapshotTable
+
+        if self._tbl is None:
+            try:
+                self._tbl = SnapshotTable(self.base)
+                self._tbl.metadata()
+            except FileNotFoundError:
+                spark = SparkSession.getActiveSession()
+                ddl = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in spark.read.parquet(sample_file).schema.fields
+                )
+                self._tbl = SnapshotTable.create(self.base, ddl)
+        return self._tbl
+
+    def commit_chunk(self, k: int, images_path: str, stripe_md5) -> None:
+        files = sorted(
+            os.path.join(images_path, f)
+            for f in os.listdir(images_path)
+            if f.endswith(".parquet")
+        )
+        if not files:
+            return
+        tbl = self._table(files[0])
+        already = {
+            s["summary"].get("pipeline_chunk")
+            for s in tbl.metadata()["snapshots"]
+        }
+        if k in already:
+            return
+        extra = {"pipeline_chunk": k}
+        if stripe_md5:
+            extra["stripe_md5"] = stripe_md5
+        tbl.add_files(files, summary_extra=extra)

@@ -590,6 +590,56 @@ class SnapshotTable:
             self._collect_stats(files, schema, spec["spec_id"], parts),
         )
 
+    def add_files(
+        self, files: list[str], summary_extra: dict | None = None,
+    ) -> dict:
+        """Metadata-only append: register EXISTING parquet files as a new
+        snapshot without rewriting a byte — Iceberg's ``add_files``
+        procedure. Stats come from the footers (driver-side); the files
+        keep living where they are, so :meth:`expire_snapshots` (which
+        GCs only under the table's own ``data/``) never deletes them,
+        matching Iceberg's posture for imported files.
+
+        This is the seam a chunked distributed job commits through: write
+        the chunk with plain ``df.write.parquet`` wherever the job puts
+        its output, then ``add_files`` the result — the snapshot log
+        provides atomic visibility, time travel, and idempotent-resume
+        bookkeeping at zero data-copy cost.
+
+        Requirements: the table's current partition spec must be
+        unpartitioned (imported files carry no hidden-partition tuple),
+        and every current-schema column must exist in each footer
+        (imported files may not silently read as all-NULL columns).
+        """
+        meta = self.metadata()
+        schema = self.schema(meta=meta)
+        spec = self.partition_spec(meta=meta)
+        if spec["fields"]:
+            raise ValueError(
+                "add_files requires an unpartitioned current spec "
+                "(imported files have no hidden-partition tuple)"
+            )
+        if not files:
+            raise ValueError("add_files needs at least one file")
+        import pyarrow.parquet as pq
+
+        want = {f["name"] for f in schema["fields"]}
+        for p in files:
+            have = set(pq.read_schema(p).names)
+            missing = want - have
+            if missing:
+                raise ValueError(
+                    f"{p}: missing table columns {sorted(missing)}"
+                )
+        new_rows = self._collect_stats(
+            sorted(files), schema, spec["spec_id"], None
+        )
+        cur = self.current_snapshot(meta)
+        old_rows = self._manifest_rows(cur) if cur else []
+        return self._snapshot_commit(
+            "add-files", old_rows + new_rows, summary_extra
+        )
+
     def _conform(self, df: DataFrame, schema: dict) -> DataFrame:
         cols = []
         names = set(df.columns)
@@ -849,11 +899,21 @@ class SnapshotTable:
         spark: SparkSession,
         target_file_bytes: int = 128 * 1024 * 1024,
         write_options: dict | None = None,
+        sort_by: list[str] | None = None,
     ) -> dict:
         """Rewrite the current file set into ~target-sized files as a
         ``rewrite`` snapshot (same logical rows; read plans shrink).
         The rewrite normalizes every row to the CURRENT schema, so a
-        post-compaction table is single-schema-generation again."""
+        post-compaction table is single-schema-generation again.
+
+        ``sort_by`` clusters the rewrite (Iceberg's rewrite_data_files
+        with a sort order): a range-partitioned global sort on the named
+        current-schema columns, so each output file covers a narrow slice
+        of the sort key and the footer min/max stats actually prune
+        point/range reads on those columns — the difference between
+        "stats exist" and "stats bite" at 100 TB. With a partition spec,
+        the sort is applied WITHIN each partition clustering instead
+        (partition layout still wins the file boundaries)."""
         meta = self.metadata()
         cur = self.current_snapshot(meta)
         if cur is None:
@@ -863,6 +923,11 @@ class SnapshotTable:
         n_out = max(1, -(-total // target_file_bytes))
         schema = self.schema(meta=meta)
         spec = self.partition_spec(meta=meta)
+        if sort_by:
+            known = {f["name"] for f in schema["fields"]}
+            bad = [c for c in sort_by if c not in known]
+            if bad:
+                raise KeyError(f"sort_by columns {bad} not in schema")
         df = self.read(spark)  # current read → current schema
         if spec["fields"]:
             # cluster by the partition transforms so each partition value
@@ -874,6 +939,13 @@ class SnapshotTable:
                 for pf in spec["fields"]
             ]
             df = df.repartition(int(n_out), *cols)
+            if sort_by:
+                df = df.sortWithinPartitions(*sort_by)
+        elif sort_by:
+            # range-partitioned global sort: one exchange, file k holds
+            # sort-key range k — footer bounds become disjoint intervals
+            df = df.repartitionByRange(int(n_out), *sort_by)
+            df = df.sortWithinPartitions(*sort_by)
         else:
             df = df.repartition(int(n_out))
         files, parts = self._write_data(df, write_options, spec, schema)

@@ -161,3 +161,86 @@ def test_lineage_df_is_queryable(spark, tmp_path):
     lin = w.lineage_df(spark)
     assert lin.filter("name = 'data'").count() == 3
     assert lin.groupBy().sum("n_rows").collect()[0][0] == 30
+
+
+def test_pipeline_snapshot_sink_addfiles(spark, tmp_path):
+    """With snapshot_base, each chunk lands as a metadata-only add-files
+    snapshot (zero data copy): per-chunk time travel, idempotent resume,
+    and crash-window healing between the two ledgers."""
+    from rio_color_spark.sources.snapshots import SnapshotTable
+
+    n = 300
+    images = images_df(spark, n)
+    packed = pack_polygons(make_polygons(12))
+    base = str(tmp_path / "out")
+    snap_base = str(tmp_path / "snap")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(spark, images, base, packed, n_chunks=3, fail_after=2,
+                     snapshot_base=snap_base)
+    t = SnapshotTable(snap_base)
+    snaps = t.metadata()["snapshots"]
+    assert [s["summary"]["pipeline_chunk"] for s in snaps] == [0, 1]
+    assert all(s["operation"] == "add-files" for s in snaps)
+    mid_rows = t.read(spark).count()
+    mid_sid = t.metadata()["current_snapshot_id"]
+
+    run_pipeline(spark, images, base, packed, n_chunks=3,
+                 snapshot_base=snap_base)  # resume: no duplicate commits
+    snaps = t.metadata()["snapshots"]
+    assert [s["summary"]["pipeline_chunk"] for s in snaps] == [0, 1, 2]
+
+    # snapshot read == the writer's own readback, bytes included
+    via_snap = t.read(spark)
+    via_writer = CheckpointedWriter(base).read(spark, "images")
+    assert via_snap.count() == via_writer.count() == n
+    assert (via_snap.select("image_id", F.md5("bytes").alias("h"))
+            .exceptAll(via_writer.select("image_id", F.md5("bytes").alias("h")))
+            .count() == 0)
+    # time travel back to the 2-chunk state
+    assert t.read(spark, snapshot_id=mid_sid).count() == mid_rows
+
+    # crash-window healing: wipe the snapshot log, rerun — all committed
+    # chunks re-register without recomputation (no new chunk parquet)
+    import shutil
+    shutil.rmtree(snap_base)
+    run_pipeline(spark, images, base, packed, n_chunks=3,
+                 snapshot_base=snap_base)
+    t2 = SnapshotTable(snap_base)
+    assert [s["summary"]["pipeline_chunk"]
+            for s in t2.metadata()["snapshots"]] == [0, 1, 2]
+    assert t2.read(spark).count() == n
+
+
+def test_add_files_contract(spark, tmp_path):
+    """add_files validates schema coverage, refuses partitioned specs, and
+    never lets expire GC imported (external) files."""
+    from rio_color_spark.sources.snapshots import SnapshotTable
+
+    ext = str(tmp_path / "ext")
+    spark.range(0, 20).selectExpr("id AS a", "id * 2 AS b").write.parquet(ext)
+    files = sorted(os.path.join(ext, f) for f in os.listdir(ext)
+                   if f.endswith(".parquet"))
+
+    t = SnapshotTable.create(str(tmp_path / "t"), "a bigint, b bigint")
+    t.add_files(files, summary_extra={"src": "ext"})
+    assert t.read(spark).count() == 20
+    assert t.current_snapshot()["operation"] == "add-files"
+    # min/max stats came from footers → pruning works on imported files
+    kept, report = t.plan_files(predicates={"a": (1000, None)})
+    assert report["files_scanned"] == 0
+
+    # imported files survive expire (they live outside data/)
+    t.overwrite(spark.range(0, 5).selectExpr("id AS a", "id AS b"))
+    t.expire_snapshots(keep_last=1)
+    assert all(os.path.exists(p) for p in files)
+
+    t2 = SnapshotTable.create(str(tmp_path / "t2"), "a bigint, missing int")
+    with pytest.raises(ValueError, match="missing table columns"):
+        t2.add_files(files)
+    t3 = SnapshotTable.create(str(tmp_path / "t3"), "a bigint, b bigint",
+                              partition_spec=[("bucket", "a", 4)])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        t3.add_files(files)
+    with pytest.raises(ValueError, match="at least one"):
+        t.add_files([])

@@ -180,7 +180,7 @@ def test_table_subcommand_lifecycle(spark, tmp_path, capsys):
     assert main(["table", "evolve", base, "--add", "quality:double"]) == 0
     assert "quality double" in capsys.readouterr().out
 
-    assert main(["table", "compact", base, "-j", "2"]) == 0
+    assert main(["table", "compact", base, "-j", "2", "--sort", "doc_id"]) == 0
     assert main(["table", "expire", base, "--keep", "1"]) == 0
     capsys.readouterr()
     assert main(["table", "history", base]) == 0

@@ -7,6 +7,7 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from rio_color_spark.sources.snapshots import (
     CommitConflict,
@@ -532,3 +533,28 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     kept, report = t.plan_files(predicates={"doc_id": (13, 13)})
     assert report["files_scanned"] < report["files_total"]
     assert t.read(spark, predicates={"doc_id": (13, 13)}).count() == 1
+
+
+def test_sorted_compaction_makes_stats_prune(spark, tmp_path):
+    """compact(sort_by=...) range-clusters the rewrite so per-file min/max
+    bounds are disjoint and a point/range predicate scans ~one file; the
+    unsorted rewrite leaves every file covering the full key range."""
+    t = SnapshotTable.create(str(tmp_path / "ts"), "doc_id bigint, lang string, n_chars bigint")
+    # shuffled appends: every file spans nearly the whole doc_id range
+    t.append(_docs(spark, 0, 400).orderBy(F.rand(seed=7)).repartition(8))
+
+    kept, before = t.plan_files(predicates={"doc_id": (10, 10)})
+    assert before["files_scanned"] == before["files_total"] == 8
+
+    t.compact(spark, target_file_bytes=2048, sort_by=["doc_id"])
+    kept, after = t.plan_files(predicates={"doc_id": (10, 10)})
+    assert after["files_total"] > 1
+    assert after["files_scanned"] == 1  # disjoint ranges → one file hit
+    # logical content unchanged
+    assert t.read(spark).count() == 400
+    assert t.read(spark, predicates={"doc_id": (10, 10)}).count() == 1
+    ids = sorted(r["doc_id"] for r in t.read(spark).collect())
+    assert ids == list(range(400))
+
+    with pytest.raises(KeyError, match="sort_by"):
+        t.compact(spark, sort_by=["nope"])
