@@ -64,6 +64,23 @@ class CommitConflict(RuntimeError):
     """Another writer committed the version we were about to write."""
 
 
+def _stat_jsonable(v):
+    """Normalize a footer-stat (or predicate-bound) value for JSON
+    manifests: pyarrow returns ``datetime.date``/``datetime.datetime``
+    for date/timestamp columns, which ``json.dumps`` rejects. Fixed-width
+    ISO strings keep lexicographic order == chronological order, so the
+    string comparisons in :meth:`SnapshotTable.plan_files` stay exact
+    (the fixed ``.%f`` width matters: a bare ``isoformat()`` drops
+    ``.000000`` and breaks prefix comparisons at equal instants)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
 # -- Spark-free DDL parsing ---------------------------------------------------
 # PySpark 4.x routes StructType.fromDDL through the active SparkContext, so
 # metadata-only operations (create / add_column) would silently grow a JVM
@@ -248,8 +265,9 @@ class SnapshotTable:
         or ``(transform, column, param)``:
 
         - ``("identity", col)`` — partition by the raw value
-        - ``("bucket", col, N)`` — ``pmod(xxhash64(col), N)`` (Spark's
-          stable hash; the facade's stand-in for Iceberg murmur3)
+        - ``("bucket", col, N)`` — ``pmod(md5(cast(col as string)), N)``
+          (the engine's cross-oracle hashing discipline — see
+          :func:`_transform_col`; the stand-in for Iceberg murmur3)
         - ``("truncate", col, W)`` — ints to ``W``-sized bins (floor),
           strings to their first ``W`` chars
 
@@ -391,12 +409,34 @@ class SnapshotTable:
         return self._evolve(mut)
 
     def drop_column(self, name: str) -> dict:
-        def mut(fields, last_id):
-            out = [f for f in fields if f["name"] != name]
-            if len(out) == len(fields):
+        """Metadata-only drop. Refuses to drop a partition-spec source
+        column (matching Iceberg): otherwise the spec keeps referencing a
+        dead field id and every later write crashes in ``_write_data``.
+        Evolve the spec away from the column first."""
+        def mut(meta):
+            cur = self.schema(meta=meta)
+            fields = [dict(f) for f in cur["fields"]]
+            hit = [f for f in fields if f["name"] == name]
+            if not hit:
                 raise KeyError(name)
-            return out, last_id
-        return self._evolve(mut)
+            fid = hit[0]["id"]
+            for spec in meta.get("partition_specs", []):
+                used = [pf for pf in spec["fields"] if pf["source_id"] == fid]
+                if used:
+                    raise ValueError(
+                        f"cannot drop {name!r}: it is the source of "
+                        f"partition field(s) "
+                        f"{[pf['name'] for pf in used]} in spec "
+                        f"{spec['spec_id']}; set_partition_spec first"
+                    )
+            new_schema = {
+                "schema_id": len(meta["schemas"]),
+                "fields": [f for f in fields if f["name"] != name],
+            }
+            meta["schemas"].append(new_schema)
+            meta["current_schema_id"] = new_schema["schema_id"]
+            return meta
+        return self._commit(mut)
 
     def rename_column(self, old: str, new: str) -> dict:
         """Same field id, new name — no data rewrite; old files still
@@ -444,6 +484,7 @@ class SnapshotTable:
                     if isinstance(mn, bytes):
                         mn = mn.decode("utf-8", "replace")
                         mx = mx.decode("utf-8", "replace")
+                    mn, mx = _stat_jsonable(mn), _stat_jsonable(mx)
                     lo[fid] = mn if fid not in lo else min(lo[fid], mn)
                     hi[fid] = mx if fid not in hi else max(hi[fid], mx)
             rows.append({
@@ -534,13 +575,45 @@ class SnapshotTable:
         return sorted(paths), partitions
 
     def _snapshot_commit(
-        self, operation: str, rows: list[dict],
-        summary_extra: dict | None = None,
+        self, operation: str, new_rows: list[dict],
+        summary_extra: dict | None = None, *,
+        merge_parent: bool = False,
+        replace_files: set[str] | None = None,
     ) -> dict:
+        """Commit a snapshot whose manifest is built INSIDE the CAS retry
+        loop, against the parent that is current at each attempt — the
+        Iceberg posture (manifests are re-merged on commit retry). Without
+        this, two concurrent appends both CAS-retry on metadata but one
+        silently drops the other's files from the merged manifest.
+
+        ``merge_parent``: manifest = current parent's rows + ``new_rows``
+        (append / add_files). ``replace_files``: manifest = current
+        parent's rows MINUS the replaced set, plus ``new_rows`` (compact);
+        raises :class:`CommitConflict` if any replaced file has vanished
+        from the current manifest (a concurrent overwrite/compact won).
+        Neither: manifest = ``new_rows`` alone (overwrite)."""
         snapshot_id = int.from_bytes(os.urandom(7), "big")
-        manifest = self._write_manifest(snapshot_id, rows)
 
         def mut(meta):
+            rows = new_rows
+            if merge_parent or replace_files is not None:
+                cur = self.current_snapshot(meta)
+                parent_rows = self._manifest_rows(cur) if cur else []
+                if replace_files is not None:
+                    live = {r["file_path"] for r in parent_rows}
+                    gone = replace_files - live
+                    if gone:
+                        raise CommitConflict(
+                            f"compaction lost a race: {len(gone)} rewritten "
+                            f"file(s) no longer in the current manifest"
+                        )
+                    rows = [
+                        r for r in parent_rows
+                        if r["file_path"] not in replace_files
+                    ] + new_rows
+                else:
+                    rows = parent_rows + new_rows
+            manifest = self._write_manifest(snapshot_id, rows)
             meta["snapshots"].append({
                 "snapshot_id": snapshot_id,
                 "parent_id": meta["current_snapshot_id"],
@@ -573,9 +646,9 @@ class SnapshotTable:
         df = self._conform(df, schema)
         files, parts = self._write_data(df, write_options, spec, schema)
         new_rows = self._collect_stats(files, schema, spec["spec_id"], parts)
-        cur = self.current_snapshot(meta)
-        old_rows = self._manifest_rows(cur) if cur else []
-        return self._snapshot_commit("append", old_rows + new_rows, summary_extra)
+        return self._snapshot_commit(
+            "append", new_rows, summary_extra, merge_parent=True
+        )
 
     def overwrite(self, df: DataFrame, write_options: dict | None = None) -> dict:
         """New snapshot whose file list is ONLY the newly written files.
@@ -634,10 +707,8 @@ class SnapshotTable:
         new_rows = self._collect_stats(
             sorted(files), schema, spec["spec_id"], None
         )
-        cur = self.current_snapshot(meta)
-        old_rows = self._manifest_rows(cur) if cur else []
         return self._snapshot_commit(
-            "add-files", old_rows + new_rows, summary_extra
+            "add-files", new_rows, summary_extra, merge_parent=True
         )
 
     def _conform(self, df: DataFrame, schema: dict) -> DataFrame:
@@ -725,6 +796,10 @@ class SnapshotTable:
             for name, (p_lo, p_hi) in (predicates or {}).items():
                 fid = name_to_id.get(name, -1)
                 sfid = str(fid)
+                # date/timestamp bounds are stored as fixed-width ISO
+                # strings — normalize the predicate side identically so
+                # the comparisons stay type-consistent
+                p_lo, p_hi = _stat_jsonable(p_lo), _stat_jsonable(p_hi)
                 if sfid in lo:
                     if p_lo is not None and hi[sfid] < p_lo:
                         keep = False
@@ -771,32 +846,39 @@ class SnapshotTable:
             if raw is None:
                 continue  # null partition value — cannot prune
             t = pf["transform"]
-            if t == "identity":
-                v = raw if is_str else int(raw)
-                if p_lo is not None and v < p_lo:
-                    return False
-                if p_hi is not None and v > p_hi:
-                    return False
-            elif t == "truncate":
-                w = int(pf["param"])
-                if is_str:
-                    # every value in the file starts with `raw` (w chars):
-                    # prefix > hi ⇒ all values > hi; prefix < lo's prefix
-                    # ⇒ all values < lo
-                    if p_hi is not None and raw > str(p_hi):
+            # Every branch is wrapped conservative: a directory-string
+            # partition value the driver can't parse for this source type
+            # (double/date identity, exotic truncate) KEEPS the file —
+            # pruning may only ever skip provably-impossible files.
+            try:
+                if t == "identity":
+                    v = raw if is_str else int(raw)
+                    if p_lo is not None and v < p_lo:
                         return False
-                    if p_lo is not None and raw < str(p_lo)[:w]:
+                    if p_hi is not None and v > p_hi:
                         return False
-                else:
-                    b = int(raw)
-                    if p_hi is not None and b > p_hi:
+                elif t == "truncate":
+                    w = int(pf["param"])
+                    if is_str:
+                        # every value in the file starts with `raw` (w
+                        # chars): prefix > hi ⇒ all values > hi; prefix <
+                        # lo's prefix ⇒ all values < lo
+                        if p_hi is not None and raw > str(p_hi):
+                            return False
+                        if p_lo is not None and raw < str(p_lo)[:w]:
+                            return False
+                    else:
+                        b = int(raw)
+                        if p_hi is not None and b > p_hi:
+                            return False
+                        if p_lo is not None and b + w - 1 < p_lo:
+                            return False
+                elif t == "bucket" and p_lo is not None and p_lo == p_hi:
+                    # point predicate: the row's bucket is fully determined
+                    if int(raw) != _transform_value(pf, src_type, p_lo):
                         return False
-                    if p_lo is not None and b + w - 1 < p_lo:
-                        return False
-            elif t == "bucket" and p_lo is not None and p_lo == p_hi:
-                # point predicate: the row's bucket is fully determined
-                if int(raw) != _transform_value(pf, src_type, p_lo):
-                    return False
+            except (ValueError, TypeError):
+                continue
         return True
 
     def read(
@@ -952,6 +1034,7 @@ class SnapshotTable:
         return self._snapshot_commit(
             "rewrite",
             self._collect_stats(files, schema, spec["spec_id"], parts),
+            replace_files={r["file_path"] for r in rows},
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:

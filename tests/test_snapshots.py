@@ -540,11 +540,15 @@ def test_sorted_compaction_makes_stats_prune(spark, tmp_path):
     bounds are disjoint and a point/range predicate scans ~one file; the
     unsorted rewrite leaves every file covering the full key range."""
     t = SnapshotTable.create(str(tmp_path / "ts"), "doc_id bigint, lang string, n_chars bigint")
-    # shuffled appends: every file spans nearly the whole doc_id range
-    t.append(_docs(spark, 0, 400).orderBy(F.rand(seed=7)).repartition(8))
+    # interleaved appends: partition by doc_id % 8 so every non-empty file
+    # holds at least one full residue class {r, r+8, ..., 392+r} — its
+    # [min,max] provably spans doc_id=10 (min<=7, max>=392), deterministically
+    # (a rand-shuffle baseline only spans the probe with probability ~0.75/file)
+    t.append(_docs(spark, 0, 400).repartition(8, F.col("doc_id") % 8))
 
     kept, before = t.plan_files(predicates={"doc_id": (10, 10)})
-    assert before["files_scanned"] == before["files_total"] == 8
+    assert before["files_total"] >= 2
+    assert before["files_scanned"] == before["files_total"]
 
     t.compact(spark, target_file_bytes=2048, sort_by=["doc_id"])
     kept, after = t.plan_files(predicates={"doc_id": (10, 10)})
@@ -558,3 +562,126 @@ def test_sorted_compaction_makes_stats_prune(spark, tmp_path):
 
     with pytest.raises(KeyError, match="sort_by"):
         t.compact(spark, sort_by=["nope"])
+
+
+# -- round-6 concurrency + typed-stats hardening ---------------------------
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Two-writer race: B commits between A's metadata read and A's CAS.
+    The manifest must be re-merged against the fresh parent on A's retry
+    (Iceberg re-applies the manifest merge on commit retry) — without
+    that, A's retried commit wins with a manifest missing B's files."""
+    base = str(tmp_path / "cc")
+    a = SnapshotTable.create(base, "doc_id bigint, lang string, n_chars bigint")
+    b = SnapshotTable(base)
+    real = a._cas_write
+    state = {"fired": False}
+
+    def racy(meta):
+        if not state["fired"]:
+            state["fired"] = True
+            b.append(_docs(spark, 100, 150))  # B steals A's version
+        real(meta)
+
+    a._cas_write = racy
+    a.append(_docs(spark, 0, 50))
+    ids = sorted(r["doc_id"] for r in a.read(spark).collect())
+    assert ids == list(range(0, 50)) + list(range(100, 150))
+    ops = [s["operation"] for s in a.metadata()["snapshots"]]
+    assert ops == ["append", "append"]
+
+
+def test_compact_race_preserves_concurrent_append(spark, tmp_path):
+    """A concurrent append landing mid-compaction must survive: the
+    rewrite replaces exactly the files it read, merged against the
+    manifest current at commit time."""
+    base = str(tmp_path / "cr")
+    a = SnapshotTable.create(base, "doc_id bigint, lang string, n_chars bigint")
+    a.append(_docs(spark, 0, 40))
+    a.append(_docs(spark, 40, 80))
+    b = SnapshotTable(base)
+    real = a._cas_write
+    state = {"fired": False}
+
+    def racy(meta):
+        if not state["fired"]:
+            state["fired"] = True
+            b.append(_docs(spark, 100, 120))
+        real(meta)
+
+    a._cas_write = racy
+    a.compact(spark)
+    ids = sorted(r["doc_id"] for r in a.read(spark).collect())
+    assert ids == list(range(0, 80)) + list(range(100, 120))
+
+
+def test_compact_race_lost_files_conflict(spark, tmp_path):
+    """If a concurrent OVERWRITE removed the files a compaction rewrote,
+    the compaction must refuse to commit (its inputs vanished)."""
+    base = str(tmp_path / "cl")
+    a = SnapshotTable.create(base, "doc_id bigint, lang string, n_chars bigint")
+    a.append(_docs(spark, 0, 40))
+    b = SnapshotTable(base)
+    real = a._cas_write
+    state = {"fired": False}
+
+    def racy(meta):
+        if not state["fired"]:
+            state["fired"] = True
+            b.overwrite(_docs(spark, 500, 510))
+        real(meta)
+
+    a._cas_write = racy
+    with pytest.raises(CommitConflict, match="lost a race"):
+        a.compact(spark)
+    # the overwrite's view is intact
+    assert sorted(r["doc_id"] for r in b.read(spark).collect()) == list(
+        range(500, 510)
+    )
+
+
+def test_date_timestamp_column_stats_and_pruning(spark, tmp_path):
+    """pyarrow footer stats for date/timestamp come back as datetime
+    objects; the manifest must serialize them (ISO, fixed width) and
+    pruning must compare predicate bounds type-consistently."""
+    import datetime as dt
+
+    t = SnapshotTable.create(
+        str(tmp_path / "dt"), "doc_id bigint, d date, ts timestamp"
+    )
+    df = spark.range(0, 10).selectExpr(
+        "id AS doc_id",
+        "date_add(DATE'2024-01-01', CAST(id AS INT)) AS d",
+        "to_timestamp(date_add(DATE'2024-01-01', CAST(id AS INT))) AS ts",
+    )
+    # two files with disjoint date ranges
+    t.append(df.repartitionByRange(2, "doc_id"))
+    assert t.read(spark).count() == 10
+
+    kept, rep = t.plan_files(predicates={"d": (dt.date(2024, 1, 9), None)})
+    assert rep["files_total"] == 2
+    assert rep["files_scanned"] == 1
+    got = t.read(spark, predicates={"d": (dt.date(2024, 1, 9), None)})
+    assert got.count() == 2  # jan 9, jan 10
+
+    # compaction re-collects stats over the typed columns — must not crash
+    t.compact(spark)
+    assert t.read(spark).count() == 10
+
+
+def test_drop_partition_source_column_rejected(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "dp"), "doc_id bigint, lang string",
+        partition_spec=[("bucket", "doc_id", 4)],
+    )
+    t.append(spark.range(0, 20).selectExpr("id AS doc_id", "'en' AS lang"))
+    with pytest.raises(ValueError, match="partition"):
+        t.drop_column("doc_id")
+    # table is NOT bricked: schema unchanged, writes still succeed
+    assert [f["name"] for f in t.schema()["fields"]] == ["doc_id", "lang"]
+    t.append(spark.range(20, 30).selectExpr("id AS doc_id", "'de' AS lang"))
+    assert t.read(spark).count() == 30
+    # dropping a non-source column still works
+    t.drop_column("lang")
+    assert [f["name"] for f in t.schema()["fields"]] == ["doc_id"]
