@@ -3,12 +3,15 @@ native user surface (``.tif`` in, ``.tif`` out; reference
 rio_color/scripts/cli.py:81-121 reads/writes GeoTIFF via rasterio).
 
 This container has no rasterio/GDAL/Pillow, so the bridge carries its own
-minimal classic-TIFF implementation covering exactly the profile space the
+minimal TIFF implementation covering exactly the profile space the
 reference's own test rasters use (tests/rgb8.tif, rgb16.tif, rgba8.tif:
 little-endian classic TIFF, 32×32 tiles, LZW, chunky planar, uint8/uint16,
 GeoTIFF tags) plus the common neighbors:
 
-- compression: none (1), LZW (5, with TIFF early-change), Deflate (8/32946)
+- container: classic TIFF (version 42, 32-bit offsets) AND BigTIFF
+  (version 43, 64-bit offsets — required past 4 GiB)
+- compression: none (1), LZW (5, with TIFF early-change), Deflate
+  (8/32946), baseline JPEG (7, via sources/jpeg.py)
 - layout: tiled or stripped, chunky (PlanarConfiguration=1)
 - samples: uint8 / uint16, 1-4 bands, alpha via ExtraSamples
 - predictor: 1 (none) and 2 (horizontal differencing)
@@ -17,13 +20,19 @@ GeoTIFF tags) plus the common neighbors:
   GeoDoubleParams, GeoAsciiParams, GDAL metadata + nodata — the analogue
   of rasterio profile passthrough (reference cli.py:102 ``src.profile``).
 
-JPEG-in-TIFF is a deliberate fail-fast seam (NotImplementedError), same
-contract as the stubbed lossy codecs in sources/codec.py.
+Structure reads go through a ``fetch(offset, size)`` callable, so the IFD
+and tag payloads may live ANYWHERE in the file (libtiff commonly writes
+them at the END): callers parsing from a partial header window get an
+explicit error or a transparent range re-read instead of silently
+truncated tag payloads.
 
 Scale note: the per-chunk byte ranges exposed by :func:`read_ifd` are what
 the Spark bridge parallelizes — tasks read and decode disjoint tile ranges
 (sources/tiff_bridge.py), so a large GeoTIFF ingests as a distributed scan
-without the driver touching pixel data.
+without the driver touching pixel data. On the write side
+:class:`TiffChunkWriter` streams pre-compressed payloads into the
+container in ANY order and writes the IFD at the tail, so the single
+assembling writer holds O(one chunk) in memory regardless of raster size.
 """
 
 from __future__ import annotations
@@ -52,6 +61,7 @@ TAG_TILE_OFFSETS = 324
 TAG_TILE_COUNTS = 325
 TAG_EXTRASAMPLES = 338
 TAG_SAMPLE_FORMAT = 339
+TAG_JPEG_TABLES = 347
 
 #: opaque side-channel tags preserved verbatim (GeoTIFF + GDAL)
 GEO_TAGS = (33550, 33922, 34264, 34735, 34736, 34737, 42112, 42113)
@@ -62,14 +72,18 @@ COMPRESSION_JPEG = 7
 COMPRESSION_DEFLATE = 8
 COMPRESSION_DEFLATE_OLD = 32946
 
-#: --co compress=NAME → tag value (jpeg intentionally absent: stub seam)
+#: --co compress=NAME → tag value
 COMPRESS_NAMES = {
     "none": COMPRESSION_NONE,
     "lzw": COMPRESSION_LZW,
     "deflate": COMPRESSION_DEFLATE,
+    "jpeg": COMPRESSION_JPEG,
 }
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+    11: 4, 12: 8, 13: 4, 16: 8, 17: 8, 18: 8,
+}
 
 
 # -- LZW (TIFF flavor: MSB-first bit order, early change) --------------------
@@ -202,6 +216,11 @@ class TiffProfile:
     rows_per_strip: int = 0
     #: opaque preserved tags: {tag: (type, count, payload bytes)}
     geo: dict[int, tuple[int, int, bytes]] = field(default_factory=dict)
+    #: BigTIFF (version 43, 64-bit offsets) — required for >4 GiB files
+    bigtiff: bool = False
+    #: JPEG quality for compress=jpeg exports (GDAL JPEG_QUALITY analogue;
+    #: default chosen so real raster content clears the PSNR≥40dB gate)
+    jpeg_quality: int = 95
 
     @property
     def np_dtype(self) -> np.dtype:
@@ -240,95 +259,145 @@ class ChunkRef:
 # -- reader ------------------------------------------------------------------
 
 
-def _read_tag_values(data: bytes, bo: str, typ: int, cnt: int, raw: bytes):
-    size = _TYPE_SIZES[typ] * cnt
-    if size > 4:
-        off = struct.unpack(bo + "I", raw)[0]
-        payload = data[off : off + size]
-    else:
-        payload = raw[:size]
+def _bytes_fetch(data: bytes):
+    """fetch(off, size) over an in-memory buffer; loudly rejects reads past
+    the end instead of returning a silently truncated slice (the old
+    behavior corrupted tag payloads parsed from a partial header window)."""
+
+    def fetch(off: int, size: int) -> bytes:
+        if off < 0 or off + size > len(data):
+            raise ValueError(
+                f"TIFF structure at bytes [{off}, {off + size}) lies beyond "
+                f"the {len(data)}-byte buffer (IFD or tag payload outside "
+                f"the header window — pass a file-backed fetch)"
+            )
+        return bytes(data[off : off + size])
+
+    return fetch
+
+
+def file_fetch(f, prefix: bytes):
+    """fetch(off, size) over an open binary file, served from an eager
+    ``prefix`` cache when possible (GDAL writes header-first; plain
+    libtiff writes the IFD at the tail — both work here)."""
+
+    def fetch(off: int, size: int) -> bytes:
+        if 0 <= off and off + size <= len(prefix):
+            return prefix[off : off + size]
+        f.seek(off)
+        b = f.read(size)
+        if len(b) != size:
+            raise ValueError(
+                f"short read: wanted [{off}, {off + size}) but file ended "
+                f"after {off + len(b)} bytes (truncated TIFF?)"
+            )
+        return b
+
+    return fetch
+
+
+def _decode_values(bo: str, typ: int, cnt: int, payload: bytes):
     if typ == 3:
         return list(struct.unpack(bo + "H" * cnt, payload))
-    if typ == 4:
+    if typ in (4, 13):
         return list(struct.unpack(bo + "I" * cnt, payload))
-    if typ in (1, 2, 6, 7):
-        return payload
+    if typ in (16, 17, 18):
+        return list(struct.unpack(bo + ("Q" if typ == 16 or typ == 18 else "q") * cnt, payload))
     if typ == 12:
         return list(struct.unpack(bo + "d" * cnt, payload))
-    return payload
+    return payload  # byte-ish types (1/2/6/7) stay raw
 
 
-def read_ifd(data: bytes) -> tuple[TiffProfile, list[ChunkRef]]:
-    """Parse the first IFD → (profile, chunk byte-ranges).
-
-    Only the header + tag area is touched; pixel bytes are NOT read. On a
-    shared filesystem the driver calls this on the first ~64 KiB and ships
-    ChunkRefs to executors.
+def read_ifd_fetch(fetch) -> tuple[TiffProfile, list[ChunkRef]]:
+    """Parse the first IFD through a ``fetch(offset, size)`` callable →
+    (profile, chunk byte-ranges). Handles classic TIFF (version 42) and
+    BigTIFF (version 43). Only header + tag structures are fetched; pixel
+    bytes are NOT read — on a shared filesystem the driver parses the
+    structure and ships ChunkRefs to executors.
     """
-    if data[:2] not in (b"II", b"MM"):
+    head = fetch(0, 8)
+    if head[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF file")
-    bo = "<" if data[:2] == b"II" else ">"
-    magic, off = struct.unpack(bo + "HI", data[2:8])
-    if magic == 43:
-        raise NotImplementedError("BigTIFF not supported by the built-in codec")
-    if magic != 42:
+    bo = "<" if head[:2] == b"II" else ">"
+    magic = struct.unpack(bo + "H", head[2:4])[0]
+    if magic == 42:
+        bigtiff = False
+        ifd_off = struct.unpack(bo + "I", head[4:8])[0]
+    elif magic == 43:
+        bigtiff = True
+        bh = fetch(4, 12)
+        offsize, reserved = struct.unpack(bo + "HH", bh[:4])
+        if offsize != 8 or reserved != 0:
+            raise ValueError(f"bad BigTIFF header (offset size {offsize})")
+        ifd_off = struct.unpack(bo + "Q", bh[4:12])[0]
+    else:
         raise ValueError("bad TIFF magic")
-    tags: dict[int, tuple[int, int, object]] = {}
-    n = struct.unpack(bo + "H", data[off : off + 2])[0]
+
+    if bigtiff:
+        n = struct.unpack(bo + "Q", fetch(ifd_off, 8))[0]
+        ebase, esize, vbytes = ifd_off + 8, 20, 8
+        cnt_fmt = off_fmt = "Q"
+    else:
+        n = struct.unpack(bo + "H", fetch(ifd_off, 2))[0]
+        ebase, esize, vbytes = ifd_off + 2, 12, 4
+        cnt_fmt = off_fmt = "I"
+    table = fetch(ebase, n * esize)
+
+    #: {tag: (type, count, raw payload bytes)}
+    tags: dict[int, tuple[int, int, bytes]] = {}
     for i in range(n):
-        e = off + 2 + i * 12
-        tag, typ, cnt = struct.unpack(bo + "HHI", data[e : e + 8])
-        tags[tag] = (typ, cnt, _read_tag_values(data, bo, typ, cnt, data[e + 8 : e + 12]))
+        e = table[i * esize : (i + 1) * esize]
+        tag, typ = struct.unpack(bo + "HH", e[:4])
+        cnt = struct.unpack(bo + cnt_fmt, e[4 : esize - vbytes])[0]
+        raw = e[esize - vbytes :]
+        if typ not in _TYPE_SIZES:
+            continue  # unknown type: skip, per TIFF 6.0 readers-should-skip
+        size = _TYPE_SIZES[typ] * cnt
+        if size > vbytes:
+            off = struct.unpack(bo + off_fmt, raw)[0]
+            payload = fetch(off, size)
+        else:
+            payload = raw[:size]
+        tags[tag] = (typ, cnt, payload)
+
+    def vals(tag: int):
+        typ, cnt, payload = tags[tag]
+        return _decode_values(bo, typ, cnt, payload)
 
     def one(tag: int, default=None):
         if tag not in tags:
             if default is None:
                 raise ValueError(f"required TIFF tag {tag} missing")
             return default
-        v = tags[tag][2]
+        v = vals(tag)
         return v[0] if isinstance(v, list) else v
 
     width, height = one(TAG_WIDTH), one(TAG_HEIGHT)
     spp = one(TAG_SPP, 1)
-    bits = tags.get(TAG_BITS, (3, 1, [8]))[2]
+    bits = vals(TAG_BITS) if TAG_BITS in tags else [8]
     bits = bits if isinstance(bits, list) else [8]
     if len(set(bits)) != 1 or bits[0] not in (8, 16):
         raise NotImplementedError(f"unsupported BitsPerSample {bits}")
     comp = one(TAG_COMPRESSION, COMPRESSION_NONE)
-    if comp == COMPRESSION_JPEG:
-        raise NotImplementedError(
-            "JPEG-in-TIFF requires a codec library not present in this "
-            "environment (same seam as sources/codec.py lossy formats)"
-        )
-    if comp not in (COMPRESSION_NONE, COMPRESSION_LZW, COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD):
+    if comp not in (
+        COMPRESSION_NONE, COMPRESSION_LZW, COMPRESSION_JPEG,
+        COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD,
+    ):
         raise NotImplementedError(f"unsupported TIFF compression {comp}")
+    if comp == COMPRESSION_JPEG and bits[0] != 8:
+        raise NotImplementedError("JPEG-in-TIFF is 8-bit only")
     if one(TAG_PLANAR, 1) != 1:
         raise NotImplementedError("planar (band-separate) TIFF not supported")
     predictor = one(TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"unsupported predictor {predictor}")
-    extras = tags.get(TAG_EXTRASAMPLES)
-    extrasamples = tuple(extras[2]) if extras else ()
+    extrasamples = tuple(vals(TAG_EXTRASAMPLES)) if TAG_EXTRASAMPLES in tags else ()
 
-    geo = {}
-    for t in GEO_TAGS:
-        if t in tags:
-            typ, cnt, _ = tags[t]
-            size = _TYPE_SIZES[typ] * cnt
-            # re-read raw payload bytes for byte-exact preservation
-            e = None
-            for i in range(n):
-                ei = off + 2 + i * 12
-                if struct.unpack(bo + "H", data[ei : ei + 2])[0] == t:
-                    e = ei
-                    break
-            raw = data[e + 8 : e + 12]
-            if size > 4:
-                o = struct.unpack(bo + "I", raw)[0]
-                payload = data[o : o + size]
-            else:
-                payload = raw[:size]
-            geo[t] = (typ, cnt, payload)
+    # opaque byte-exact preservation: the raw payloads are already in hand
+    geo = {t: tags[t] for t in GEO_TAGS if t in tags}
+    if TAG_JPEG_TABLES in tags:
+        geo = dict(geo)
+        geo[TAG_JPEG_TABLES] = tags[TAG_JPEG_TABLES]
 
     prof = TiffProfile(
         width=width,
@@ -340,14 +409,15 @@ def read_ifd(data: bytes) -> tuple[TiffProfile, list[ChunkRef]]:
         photometric=one(TAG_PHOTOMETRIC, 1),
         extrasamples=extrasamples,
         geo=geo,
+        bigtiff=bigtiff,
     )
 
     chunks: list[ChunkRef] = []
     if TAG_TILE_OFFSETS in tags:
         tw, th = one(TAG_TILE_W), one(TAG_TILE_H)
         prof.tiled, prof.tile_width, prof.tile_height = True, tw, th
-        offsets = tags[TAG_TILE_OFFSETS][2]
-        counts = tags[TAG_TILE_COUNTS][2]
+        offsets = vals(TAG_TILE_OFFSETS)
+        counts = vals(TAG_TILE_COUNTS)
         across = -(-width // tw)
         down = -(-height // th)
         if len(offsets) != across * down:
@@ -371,8 +441,8 @@ def read_ifd(data: bytes) -> tuple[TiffProfile, list[ChunkRef]]:
         rps = one(TAG_ROWS_PER_STRIP, height)
         prof.tiled = False
         prof.rows_per_strip = rps
-        offsets = tags[TAG_STRIP_OFFSETS][2]
-        counts = tags[TAG_STRIP_COUNTS][2]
+        offsets = vals(TAG_STRIP_OFFSETS)
+        counts = vals(TAG_STRIP_COUNTS)
         if isinstance(offsets, bytes):  # single short strip edge case
             raise ValueError("unexpected strip offset encoding")
         for idx in range(len(offsets)):
@@ -394,10 +464,28 @@ def read_ifd(data: bytes) -> tuple[TiffProfile, list[ChunkRef]]:
     return prof, chunks
 
 
+def read_ifd(data: bytes) -> tuple[TiffProfile, list[ChunkRef]]:
+    """Parse the first IFD from an in-memory buffer. Raises a clear error
+    (instead of silently truncating payloads) if the IFD or any tag
+    payload lies beyond the buffer — use :func:`read_ifd_fetch` with
+    :func:`file_fetch` when parsing from a partial header window."""
+    return read_ifd_fetch(_bytes_fetch(data))
+
+
 def decode_chunk(raw: bytes, prof: TiffProfile, chunk: ChunkRef) -> np.ndarray:
     """Compressed chunk bytes → (count, height, width) ndarray (valid
     region only — tile padding removed)."""
     comp = prof.compression
+    if comp == COMPRESSION_JPEG:
+        from rio_color_spark.sources import jpeg as J
+
+        tables = prof.geo.get(TAG_JPEG_TABLES)
+        px = J.decode_jpeg(raw, tables=tables[2] if tables else None)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        return np.ascontiguousarray(
+            px[: chunk.height, : chunk.width, :].transpose(2, 0, 1)
+        )
     if comp == COMPRESSION_LZW:
         buf = lzw_decode(raw)
     elif comp in (COMPRESSION_DEFLATE, COMPRESSION_DEFLATE_OLD):
@@ -429,6 +517,18 @@ def encode_chunk(arr: np.ndarray, prof: TiffProfile, stored_w: int, stored_h: in
     stored tile geometry (GDAL pads the same way)."""
     spp, h, w = arr.shape
     dt = prof.np_dtype
+    if prof.compression == COMPRESSION_JPEG:
+        from rio_color_spark.sources import jpeg as J
+
+        if dt.itemsize != 1:
+            raise NotImplementedError("JPEG-in-TIFF is 8-bit only")
+        # JPEG pads edge blocks by replicating the last row/col (zero
+        # padding would ring at valid-pixel boundaries)
+        px = np.empty((stored_h, stored_w, spp), dtype=np.uint8)
+        px[:h, :w, :] = arr.transpose(1, 2, 0)
+        px[h:, :w, :] = px[h - 1 : h, :w, :]
+        px[:, w:, :] = px[:, w - 1 : w, :]
+        return J.encode_jpeg(px, quality=prof.jpeg_quality)
     px = np.zeros((stored_h, stored_w, spp), dtype=dt)
     px[:h, :w, :] = arr.transpose(1, 2, 0)
     if prof.predictor == 2:
@@ -478,121 +578,151 @@ def _chunk_grid(prof: TiffProfile) -> list[tuple[int, int, int, int, int, int]]:
     return out
 
 
-def write_tiff_chunks(path: str, payloads: list[bytes], prof: TiffProfile) -> None:
-    """Assemble a classic little-endian TIFF from pre-compressed chunk
-    payloads (index order must match :func:`_chunk_grid`).
+class TiffChunkWriter:
+    """Streaming single-writer container assembly: pre-compressed chunk
+    payloads arrive in ANY order via :meth:`add`; pixel data is appended
+    immediately and the IFD is written at the file TAIL by :meth:`close`
+    (the header's IFD pointer is patched last). Driver memory is bounded
+    by O(one payload) + O(8 bytes × n_chunks) of offset bookkeeping —
+    this is what lets the Spark export path stream a raster of any size
+    through ``toLocalIterator`` instead of ``collect()``.
 
-    Split out from :func:`write_tiff` so the Spark export path can
-    compress chunks on executors and only stream opaque bytes through the
-    driver — the driver never decodes a pixel.
+    Classic TIFF (version 42) offsets are 32-bit; :meth:`close` raises if
+    the file outgrew 4 GiB — write with ``prof.bigtiff=True`` (or
+    ``--co bigtiff=yes``) for version 43's 64-bit offsets.
     """
+
+    def __init__(self, path: str, prof: TiffProfile):
+        self.prof = prof
+        self.bigtiff = prof.bigtiff
+        self.grid = _chunk_grid(prof)
+        n = len(self.grid)
+        self._f = open(path, "wb")
+        bo = "<"
+        if self.bigtiff:
+            # II + 43 + offset-size 8 + reserved 0 + IFD offset (patched)
+            self._f.write(b"II" + struct.pack(bo + "HHHQ", 43, 8, 0, 0))
+        else:
+            self._f.write(b"II" + struct.pack(bo + "HI", 42, 0))
+        self._pos = self._f.tell()
+        self._offsets = [0] * n
+        self._counts = [-1] * n
+
+    @property
+    def n_chunks(self) -> int:
+        return len(self.grid)
+
+    def add(self, index: int, payload: bytes) -> None:
+        if not 0 <= index < len(self.grid):
+            raise IndexError(f"chunk index {index} outside grid of {len(self.grid)}")
+        if self._counts[index] >= 0:
+            raise ValueError(f"duplicate payload for chunk {index}")
+        self._offsets[index] = self._pos
+        self._counts[index] = len(payload)
+        self._f.write(payload)
+        if len(payload) & 1:
+            self._f.write(b"\0")
+        self._pos += len(payload) + (len(payload) & 1)
+
+    def close(self) -> None:
+        missing = [i for i, c in enumerate(self._counts) if c < 0]
+        if missing:
+            self._f.close()
+            raise ValueError(
+                f"{len(missing)} of {len(self.grid)} chunk payloads missing "
+                f"(first: {missing[:5]})"
+            )
+        prof, bo = self.prof, "<"
+        bits = 16 if prof.dtype == "uint16" else 8
+
+        entries: list[tuple[int, int, int, bytes]] = []
+
+        def add(tag: int, typ: int, values) -> None:
+            if isinstance(values, (bytes, bytearray)):
+                payload, cnt = bytes(values), len(values)
+            else:
+                vals = values if isinstance(values, (list, tuple)) else [values]
+                fmt = {3: "H", 4: "I", 12: "d", 16: "Q"}[typ]
+                payload = struct.pack(bo + fmt * len(vals), *vals)
+                cnt = len(vals)
+            entries.append((tag, typ, cnt, payload))
+
+        add(TAG_WIDTH, 4, prof.width)
+        add(TAG_HEIGHT, 4, prof.height)
+        add(TAG_BITS, 3, [bits] * prof.count)
+        add(TAG_COMPRESSION, 3, prof.compression)
+        add(TAG_PHOTOMETRIC, 3, prof.photometric)
+        add(TAG_SPP, 3, prof.count)
+        add(TAG_PLANAR, 3, 1)
+        if prof.predictor != 1:
+            add(TAG_PREDICTOR, 3, prof.predictor)
+        if prof.tiled:
+            add(TAG_TILE_W, 3, prof.tile_width)
+            add(TAG_TILE_H, 3, prof.tile_height)
+        else:
+            add(TAG_ROWS_PER_STRIP, 4, prof.rows_per_strip or prof.height)
+        if prof.extrasamples:
+            add(TAG_EXTRASAMPLES, 3, list(prof.extrasamples))
+        add(TAG_SAMPLE_FORMAT, 3, [1] * prof.count)
+        off_typ = 16 if self.bigtiff else 4
+        add(TAG_TILE_OFFSETS if prof.tiled else TAG_STRIP_OFFSETS, off_typ, self._offsets)
+        add(TAG_TILE_COUNTS if prof.tiled else TAG_STRIP_COUNTS, 4, self._counts)
+        for tag, (typ, cnt, payload) in sorted(prof.geo.items()):
+            entries.append((tag, typ, cnt, payload))
+        entries.sort(key=lambda e: e[0])
+
+        ifd_off = self._pos
+        if self.bigtiff:
+            head = struct.pack(bo + "Q", len(entries))
+            esize, vbytes, next_sz = 20, 8, 8
+            cnt_fmt = off_fmt = "Q"
+        else:
+            head = struct.pack(bo + "H", len(entries))
+            esize, vbytes, next_sz = 12, 4, 4
+            cnt_fmt = off_fmt = "I"
+        ifd_size = len(head) + len(entries) * esize + next_sz
+        ovf_cursor = ifd_off + ifd_size
+        body = bytearray()
+        ovf = bytearray()
+        for tag, typ, cnt, payload in entries:
+            body += struct.pack(bo + "HH", tag, typ)
+            body += struct.pack(bo + cnt_fmt, cnt)
+            if len(payload) > vbytes:
+                body += struct.pack(bo + off_fmt, ovf_cursor)
+                ovf += payload
+                if len(payload) & 1:
+                    ovf += b"\0"
+                ovf_cursor += len(payload) + (len(payload) & 1)
+            else:
+                body += payload.ljust(vbytes, b"\0")
+        end = ifd_off + ifd_size + len(ovf)
+        if not self.bigtiff and end > 0xFFFFFFFF:
+            self._f.close()
+            raise ValueError(
+                f"file is {end} bytes — classic TIFF offsets overflow 4 GiB; "
+                f"write with bigtiff (--co bigtiff=yes)"
+            )
+        self._f.write(head + body + struct.pack(bo + ("Q" if self.bigtiff else "I"), 0) + ovf)
+        self._f.seek(8 if self.bigtiff else 4)
+        self._f.write(struct.pack(bo + ("Q" if self.bigtiff else "I"), ifd_off))
+        self._f.close()
+
+
+def write_tiff_chunks(path: str, payloads: list[bytes], prof: TiffProfile) -> None:
+    """Assemble a TIFF from pre-compressed chunk payloads (index order must
+    match :func:`_chunk_grid`). Thin wrapper over :class:`TiffChunkWriter`;
+    the Spark export path streams into the writer directly."""
     grid = _chunk_grid(prof)
     if len(payloads) != len(grid):
         raise ValueError(f"expected {len(grid)} chunk payloads, got {len(payloads)}")
-    bo = "<"
-    bits = 16 if prof.dtype == "uint16" else 8
-
-    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, payload)
-
-    def add(tag: int, typ: int, values) -> None:
-        if isinstance(values, (bytes, bytearray)):
-            payload, cnt = bytes(values), len(values)
-        else:
-            vals = values if isinstance(values, (list, tuple)) else [values]
-            fmt = {3: "H", 4: "I", 12: "d"}[typ]
-            payload = struct.pack(bo + fmt * len(vals), *vals)
-            cnt = len(vals)
-        entries.append((tag, typ, cnt, payload))
-
-    add(TAG_WIDTH, 3, prof.width)
-    add(TAG_HEIGHT, 3, prof.height)
-    add(TAG_BITS, 3, [bits] * prof.count)
-    add(TAG_COMPRESSION, 3, prof.compression)
-    add(TAG_PHOTOMETRIC, 3, prof.photometric)
-    add(TAG_SPP, 3, prof.count)
-    add(TAG_PLANAR, 3, 1)
-    if prof.predictor != 1:
-        add(TAG_PREDICTOR, 3, prof.predictor)
-    if prof.tiled:
-        add(TAG_TILE_W, 3, prof.tile_width)
-        add(TAG_TILE_H, 3, prof.tile_height)
-    else:
-        add(TAG_ROWS_PER_STRIP, 3, prof.rows_per_strip or prof.height)
-    if prof.extrasamples:
-        add(TAG_EXTRASAMPLES, 3, list(prof.extrasamples))
-    add(TAG_SAMPLE_FORMAT, 3, [1] * prof.count)
-    for tag, (typ, cnt, payload) in sorted(prof.geo.items()):
-        entries.append((tag, typ, cnt, payload))
-
-    # offsets/counts tags appended after layout below
-    n_tags = len(entries) + 2
-    ifd_off = 8
-    ifd_size = 2 + n_tags * 12 + 4
-    # tag overflow payload area follows the IFD
-    overflow: list[bytes] = []
-    overflow_off = ifd_off + ifd_size
-
-    off_tag_typ = 4
-    counts = [len(p) for p in payloads]
-    data_start = overflow_off  # patched after overflow is sized
-    # first pass: compute overflow size with placeholder offset arrays
-    placeholder = struct.pack(bo + "I" * len(payloads), *([0] * len(payloads)))
-    all_entries = entries + [
-        (TAG_TILE_OFFSETS if prof.tiled else TAG_STRIP_OFFSETS, off_tag_typ, len(payloads), placeholder),
-        (TAG_TILE_COUNTS if prof.tiled else TAG_STRIP_COUNTS, off_tag_typ, len(payloads), counts_payload := struct.pack(bo + "I" * len(counts), *counts)),
-    ]
-    all_entries.sort(key=lambda e: e[0])
-    ovf = 0
-    for _, _, _, payload in all_entries:
-        if len(payload) > 4:
-            ovf += len(payload) + (len(payload) & 1)
-    data_start = overflow_off + ovf
-    # chunk offsets now known
-    offs = []
-    pos = data_start
-    for p in payloads:
-        offs.append(pos)
-        pos += len(p) + (len(p) & 1)
-    offsets_payload = struct.pack(bo + "I" * len(offs), *offs)
-    all_entries = [
-        e
-        for e in all_entries
-        if e[0] not in (TAG_TILE_OFFSETS, TAG_STRIP_OFFSETS)
-    ]
-    all_entries.append(
-        (TAG_TILE_OFFSETS if prof.tiled else TAG_STRIP_OFFSETS, off_tag_typ, len(payloads), offsets_payload)
-    )
-    all_entries.sort(key=lambda e: e[0])
-
-    out = bytearray()
-    out += b"II" + struct.pack(bo + "HI", 42, ifd_off)
-    out += struct.pack(bo + "H", n_tags)
-    ovf_cursor = overflow_off
-    ovf_buf = bytearray()
-    for tag, typ, cnt, payload in all_entries:
-        out += struct.pack(bo + "HHI", tag, typ, cnt)
-        if len(payload) > 4:
-            out += struct.pack(bo + "I", ovf_cursor)
-            ovf_buf += payload
-            if len(payload) & 1:
-                ovf_buf += b"\0"
-            ovf_cursor += len(payload) + (len(payload) & 1)
-        else:
-            out += payload.ljust(4, b"\0")
-    out += struct.pack(bo + "I", 0)  # next IFD
-    assert len(out) == ifd_off + ifd_size, (len(out), ifd_off + ifd_size)
-    out += ovf_buf
-    assert len(out) == data_start
-    for p in payloads:
-        out += p
-        if len(p) & 1:
-            out += b"\0"
-    with open(path, "wb") as f:
-        f.write(bytes(out))
+    w = TiffChunkWriter(path, prof)
+    for i, p in enumerate(payloads):
+        w.add(i, p)
+    w.close()
 
 
 def write_tiff(path: str, arr: np.ndarray, prof: TiffProfile) -> None:
-    """Whole-raster write: (count, height, width) array → classic TIFF."""
+    """Whole-raster write: (count, height, width) array → TIFF."""
     if arr.ndim != 3:
         raise ValueError(f"expected (bands, h, w), got shape {arr.shape}")
     prof.count, prof.height, prof.width = arr.shape
@@ -613,14 +743,14 @@ def apply_creation_options(prof: TiffProfile, co: dict[str, str]) -> TiffProfile
         k = k.lower()
         if k == "compress":
             name = v.lower()
-            if name == "jpeg":
-                raise NotImplementedError(
-                    "compress=jpeg requires a JPEG codec not present in this "
-                    "environment (stub seam; lzw/deflate/none supported)"
-                )
             if name not in COMPRESS_NAMES:
                 raise ValueError(f"unknown compress={v!r}")
             p.compression = COMPRESS_NAMES[name]
+            if p.compression == COMPRESSION_JPEG:
+                # JPEG chunks are self-contained scans; predictor and the
+                # shared-tables side channel do not apply
+                p.predictor = 1
+                p.geo.pop(TAG_JPEG_TABLES, None)
         elif k == "predictor":
             p.predictor = int(v)
         elif k == "blockxsize":
@@ -629,5 +759,9 @@ def apply_creation_options(prof: TiffProfile, co: dict[str, str]) -> TiffProfile
             p.tile_height = int(v)
         elif k == "tiled":
             p.tiled = v.lower() in ("true", "yes", "1")
+        elif k == "bigtiff":
+            p.bigtiff = v.lower() in ("true", "yes", "1", "if_safer")
+        elif k == "jpeg_quality":
+            p.jpeg_quality = int(v)
         # unknown options pass through silently, matching GDAL's tolerance
     return p

@@ -5,23 +5,30 @@ options + colorinterp; tests/test_cli.py:121-169,199-219 pin that contract).
 
 Spark-first shape:
 
-- **ingest** — the DRIVER parses only the TIFF header (tag area; no pixel
-  bytes), turning the raster into a DataFrame of chunk byte-ranges; each
-  TASK then reads and decodes its own disjoint tile ranges
-  (``mapInPandas``) and emits image-table rows. A 100 GB GeoTIFF on a
-  shared filesystem ingests as a fully parallel scan — pixel data never
-  passes through the driver.
+- **ingest** — the DRIVER parses only the TIFF structure (header, IFD,
+  tag payloads — wherever they live in the file; libtiff writes them at
+  the tail) through a range-read fetch, turning the raster into a
+  DataFrame of chunk byte-ranges; each TASK then reads and decodes its
+  own disjoint tile ranges (``mapInPandas``) and emits image-table rows.
+  A 100 GB (Big)TIFF on a shared filesystem ingests as a fully parallel
+  scan — pixel data never passes through the driver.
 - **export** — tasks encode + compress their tiles (the CPU-heavy step);
-  the driver only concatenates opaque compressed payloads into the
-  single-file container (a single .tif has one writer by construction —
-  the same constraint rasterio has).
+  the driver streams opaque compressed payloads into the single-file
+  container via ``toLocalIterator`` + :class:`tiff.TiffChunkWriter`
+  (tail-written IFD, any arrival order), holding at most ONE Spark
+  partition of compressed chunks at a time — never the whole raster.
+  A single .tif has one writer by construction — the same constraint
+  rasterio has. Containers past 4 GiB need ``--co bigtiff=yes``.
+- **re-tiling** — when creation options change the chunk grid
+  (blockxsize/blockysize/tiled), pixel blocks are re-gridded on
+  executors: each source chunk splits into target-aligned pieces,
+  one shuffle co-locates the pieces of each target chunk, and
+  ``applyInPandas`` assembles + encodes it. The pointwise-op property
+  makes the result exact (same full-raster array, new grid).
 - every chunk row lands in the standard images schema (sources/images.py
   ``IMAGES_SCHEMA``), so the ENTIRE existing operator surface — color
   chains, optimize, histograms, dedup of captions, … — runs on ingested
-  rasters unchanged. The tile grid is per-pixel-op safe: every DSL
-  operation (gamma/sigmoidal/saturation/atmo) is pointwise, the same
-  property the reference exploits to process by riomucho windows
-  (reference scripts/cli.py:108-121).
+  rasters unchanged.
 
 The container profile (dtype, tiling, compression, photometric,
 ExtraSamples, GeoTIFF/GDAL tags) rides in a ``_tiff_profile.json``
@@ -46,9 +53,10 @@ from rio_color_spark.sources.images import IMAGES_SCHEMA, phash_for
 
 MANIFEST = "_tiff_profile.json"
 
-#: header bytes the driver reads to parse the IFD. Tag payloads live right
-#: after the IFD in every GDAL/libtiff layout; 4 MiB covers offset arrays
-#: for rasters into the tens of terapixels. Chunk PIXEL data is never read.
+#: bytes the driver prefetches before structure parsing. GDAL writes the
+#: IFD header-first so this one read usually suffices; anything outside
+#: the window (tail-written IFDs, far tag payloads) is range-read on
+#: demand through tiff.file_fetch — never silently truncated.
 _HEADER_BYTES = 4 << 20
 
 _CHUNK_META_SCHEMA = (
@@ -72,6 +80,8 @@ def _profile_to_json(prof: T.TiffProfile, n_chunks: int, source: str) -> str:
             "tile_width": prof.tile_width,
             "tile_height": prof.tile_height,
             "rows_per_strip": prof.rows_per_strip,
+            "bigtiff": prof.bigtiff,
+            "jpeg_quality": prof.jpeg_quality,
             "geo": {str(t): [typ, cnt, payload.hex()] for t, (typ, cnt, payload) in prof.geo.items()},
             "n_chunks": n_chunks,
             "source": source,
@@ -95,6 +105,8 @@ def _profile_from_json(s: str) -> tuple[T.TiffProfile, int]:
         tile_width=d["tile_width"],
         tile_height=d["tile_height"],
         rows_per_strip=d["rows_per_strip"],
+        bigtiff=d.get("bigtiff", False),
+        jpeg_quality=d.get("jpeg_quality", 95),
         geo={int(t): (v[0], v[1], bytes.fromhex(v[2])) for t, v in d["geo"].items()},
     )
     return prof, d["n_chunks"]
@@ -105,15 +117,21 @@ def read_profile(table_path: str) -> tuple[T.TiffProfile, int]:
         return _profile_from_json(f.read())
 
 
+def read_structure(tif_path: str) -> tuple[T.TiffProfile, list[T.ChunkRef]]:
+    """Driver-side structure parse: prefetch a header window, range-read
+    anything beyond it (tail IFDs, far tag payloads)."""
+    size = os.path.getsize(tif_path)
+    with open(tif_path, "rb") as f:
+        prefix = f.read(min(size, _HEADER_BYTES))
+        return T.read_ifd_fetch(T.file_fetch(f, prefix))
+
+
 def ingest_tiff(
     spark: SparkSession, tif_path: str, table_path: str, parallelism: int | None = None
 ) -> None:
     """GeoTIFF → parquet image table (one row per tile/strip) + manifest."""
     tif_path = os.path.abspath(tif_path)
-    size = os.path.getsize(tif_path)
-    with open(tif_path, "rb") as f:
-        head = f.read(min(size, _HEADER_BYTES))
-    prof, chunks = T.read_ifd(head)
+    prof, chunks = read_structure(tif_path)
     fmt = codec.fmt_for_dtype(prof.np_dtype, prof.count)
     stem = os.path.splitext(os.path.basename(tif_path))[0]
 
@@ -167,6 +185,108 @@ def ingest_tiff(
         f.write(prof_json)
 
 
+def _encode_same_grid(df: DataFrame, prof_json: str) -> DataFrame:
+    """Image-table rows → (index, payload): the source grid IS the target
+    grid, so every row encodes independently (no shuffle at all)."""
+
+    def encode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p, _ = _profile_from_json(prof_json)
+        for pdf in batches:
+            idxs, payloads = [], []
+            for r in pdf.itertuples(index=False):
+                idx = int(r.image_id.rsplit(":", 1)[1])
+                arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+                if p.tiled:
+                    sw, sh = p.tile_width, p.tile_height
+                else:
+                    sw, sh = p.width, r.h
+                idxs.append(idx)
+                payloads.append(T.encode_chunk(arr, p, sw, sh))
+            yield pd.DataFrame({"index": idxs, "payload": payloads})
+
+    return df.mapInPandas(encode_rows, schema="index int, payload binary")
+
+
+def _encode_regrid(df: DataFrame, in_prof_json: str, out_prof_json: str) -> DataFrame:
+    """Image-table rows on the SOURCE grid → (index, payload) on the
+    TARGET grid, fully distributed:
+
+    1. ``mapInPandas``: decode each source chunk, slice it along target
+       chunk boundaries, emit (target index, placement, raw pixel block)
+    2. one shuffle co-locates each target chunk's pieces
+    3. ``applyInPandas`` per target chunk: assemble the valid region,
+       ``encode_chunk``
+
+    Exactness: slicing + reassembly is a permutation of pixels, so the
+    decoded full-raster array is identical to the source's — mirroring
+    GDAL's ability to rewrite with any block size.
+    """
+
+    def split_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pin, _ = _profile_from_json(in_prof_json)
+        pout, _ = _profile_from_json(out_prof_json)
+        in_grid = T._chunk_grid(pin)
+        out_grid = T._chunk_grid(pout)
+        if pout.tiled:
+            tw, th = pout.tile_width, pout.tile_height
+            across = -(-pout.width // tw)
+        else:
+            tw, th = pout.width, (pout.rows_per_strip or pout.height)
+            across = 1
+        for pdf in batches:
+            out = {k: [] for k in ("tgt", "y0", "x0", "h", "w", "block")}
+            for r in pdf.itertuples(index=False):
+                idx = int(r.image_id.rsplit(":", 1)[1])
+                arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
+                r0, c0 = in_grid[idx][0], in_grid[idx][1]
+                h, w = arr.shape[1], arr.shape[2]
+                ty0, ty1 = r0 // th, (r0 + h - 1) // th
+                tx0, tx1 = c0 // tw, (c0 + w - 1) // tw
+                for ty in range(ty0, ty1 + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        tgt = ty * across + tx
+                        gr0, gc0 = out_grid[tgt][0], out_grid[tgt][1]
+                        # overlap of [r0, r0+h) x [c0, c0+w) with target
+                        a = max(r0, gr0)
+                        b = min(r0 + h, gr0 + out_grid[tgt][3])
+                        c = max(c0, gc0)
+                        d = min(c0 + w, gc0 + out_grid[tgt][2])
+                        if a >= b or c >= d:
+                            continue
+                        sub = np.ascontiguousarray(
+                            arr[:, a - r0 : b - r0, c - c0 : d - c0]
+                        )
+                        out["tgt"].append(tgt)
+                        out["y0"].append(a - gr0)
+                        out["x0"].append(c - gc0)
+                        out["h"].append(b - a)
+                        out["w"].append(d - c)
+                        out["block"].append(sub.tobytes())
+                yield pd.DataFrame(out)
+                out = {k: [] for k in ("tgt", "y0", "x0", "h", "w", "block")}
+
+    pieces = df.mapInPandas(
+        split_rows, schema="tgt int, y0 int, x0 int, h int, w int, block binary"
+    )
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pout, _ = _profile_from_json(out_prof_json)
+        out_grid = T._chunk_grid(pout)
+        tgt = int(key[0])
+        _r0, _c0, vw, vh, sw, sh = out_grid[tgt]
+        dt = pout.np_dtype
+        tile = np.zeros((pout.count, vh, vw), dtype=dt)
+        for r in pdf.itertuples(index=False):
+            blk = np.frombuffer(r.block, dtype=dt).reshape(pout.count, r.h, r.w)
+            tile[:, r.y0 : r.y0 + r.h, r.x0 : r.x0 + r.w] = blk
+        payload = T.encode_chunk(tile, pout, sw, sh)
+        return pd.DataFrame({"index": [tgt], "payload": [payload]})
+
+    return pieces.groupBy("tgt").applyInPandas(
+        assemble, schema="index int, payload binary"
+    )
+
+
 def export_tiff(
     spark: SparkSession,
     table_path: str,
@@ -175,10 +295,14 @@ def export_tiff(
 ) -> None:
     """Image table (+ manifest) → single GeoTIFF.
 
-    Chunk compression runs on executors; the driver assembles the
-    container from opaque payloads in index order. Creation options
-    (``--co compress=deflate`` etc.) override the preserved profile, the
-    reference's GDAL-option contract (tests/test_cli.py:121-169).
+    Chunk compression runs on executors; the driver streams opaque
+    payloads into the container (peak driver hold: one Spark partition of
+    compressed chunks — bounded by ``toLocalIterator``'s partition-at-a-
+    time fetch, NOT the raster size). Creation options (``--co
+    compress=deflate``, ``blockxsize``, ``bigtiff=yes`` …) override the
+    preserved profile, the reference's GDAL-option contract
+    (tests/test_cli.py:121-169); a changed chunk grid triggers the
+    distributed re-grid path.
     """
     prof, n_chunks = read_profile(table_path)
     df = spark.read.parquet(table_path)
@@ -201,46 +325,35 @@ def export_tiff(
         tile_width=prof.tile_width,
         tile_height=prof.tile_height,
         rows_per_strip=prof.rows_per_strip,
+        bigtiff=prof.bigtiff,
+        jpeg_quality=prof.jpeg_quality,
         geo=prof.geo,
     )
     if creation_options:
         out_prof = T.apply_creation_options(out_prof, creation_options)
-    if (out_prof.tiled, out_prof.tile_width, out_prof.tile_height, out_prof.rows_per_strip) != (
-        prof.tiled, prof.tile_width, prof.tile_height, prof.rows_per_strip
-    ):
-        raise NotImplementedError(
-            "export re-tiling not supported: ingest and export must share a "
-            "chunk grid (pass matching blockxsize/blockysize or none)"
-        )
-    prof_json = _profile_to_json(out_prof, n_chunks, tif_path)
+    in_prof = T.TiffProfile(**{**out_prof.__dict__, "tiled": prof.tiled,
+                               "tile_width": prof.tile_width,
+                               "tile_height": prof.tile_height,
+                               "rows_per_strip": prof.rows_per_strip})
+    same_grid = (
+        out_prof.tiled, out_prof.tile_width, out_prof.tile_height,
+        out_prof.rows_per_strip,
+    ) == (prof.tiled, prof.tile_width, prof.tile_height, prof.rows_per_strip)
+    out_json = _profile_to_json(out_prof, n_chunks, tif_path)
+    if same_grid:
+        enc = _encode_same_grid(df, out_json)
+    else:
+        in_json = _profile_to_json(in_prof, n_chunks, tif_path)
+        enc = _encode_regrid(df, in_json, out_json)
 
-    def encode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        p, _ = _profile_from_json(prof_json)
-        for pdf in batches:
-            idxs, payloads = [], []
-            for r in pdf.itertuples(index=False):
-                idx = int(r.image_id.rsplit(":", 1)[1])
-                arr = codec.decode(r.bytes, r.w, r.h, r.fmt)
-                if p.tiled:
-                    sw, sh = p.tile_width, p.tile_height
-                else:
-                    sw, sh = p.width, r.h
-                idxs.append(idx)
-                payloads.append(T.encode_chunk(arr, p, sw, sh))
-            yield pd.DataFrame({"index": idxs, "payload": payloads})
-
-    enc = df.mapInPandas(encode_rows, schema="index int, payload binary")
-    collected = enc.collect()
-    if len(collected) != n_chunks:
+    writer = T.TiffChunkWriter(tif_path, out_prof)
+    if same_grid and writer.n_chunks != n_chunks:
         raise ValueError(
-            f"table has {len(collected)} chunks, manifest expects {n_chunks}"
+            f"manifest expects {n_chunks} chunks, grid has {writer.n_chunks}"
         )
-    payloads: list[bytes | None] = [None] * n_chunks
-    for row in collected:
-        payloads[row["index"]] = bytes(row["payload"])
-    if any(p is None for p in payloads):
-        raise ValueError("missing chunk payloads in table")
-    T.write_tiff_chunks(tif_path, payloads, out_prof)  # type: ignore[arg-type]
+    for row in enc.toLocalIterator():
+        writer.add(row["index"], bytes(row["payload"]))
+    writer.close()  # raises listing any missing chunk
 
 
 def is_tiff_path(path: str) -> bool:

@@ -95,10 +95,64 @@ def test_stripped_layout_roundtrip(tmp_path):
     assert not prof2.tiled and prof2.rows_per_strip == 16
 
 
-def test_jpeg_is_failfast_seam():
+def test_jpeg_in_tiff_roundtrip_psnr40(tmp_path):
+    """Reference tests/test_cli.py:121-169 asserts compress=jpeg lands in
+    the container; the engine's lossy gate is PSNR>=40dB on decoded
+    pixels (BASELINE north rule)."""
+    from rio_color_spark.sources.jpeg import psnr
+
     arr, prof = T.read_tiff(f"{REF}/rgb8.tif")
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        T.apply_creation_options(prof, {"compress": "jpeg"})
+    p = T.apply_creation_options(prof, {"compress": "jpeg"})
+    assert p.compression == T.COMPRESSION_JPEG
+    out = str(tmp_path / "j.tif")
+    T.write_tiff(out, arr.copy(), p)
+    arr2, prof2 = T.read_tiff(out)
+    assert prof2.compression == T.COMPRESSION_JPEG
+    assert arr2.shape == arr.shape and arr2.dtype == arr.dtype
+    assert psnr(arr, arr2) >= 40.0
+    assert prof2.geo.keys() >= {k for k in prof.geo if k != T.TAG_JPEG_TABLES}
+
+
+def test_jpeg_rejected_for_uint16(tmp_path):
+    arr, prof = T.read_tiff(f"{REF}/rgb16.tif")
+    p = T.apply_creation_options(prof, {"compress": "jpeg"})
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        T.write_tiff(str(tmp_path / "j16.tif"), arr.copy(), p)
+
+
+def test_bigtiff_roundtrip(tmp_path):
+    """Version-43 container (64-bit offsets): round-trips and is detected
+    on read; classic write refuses once offsets would overflow 4 GiB."""
+    arr, prof = T.read_tiff(f"{REF}/rgb8.tif")
+    p = T.apply_creation_options(prof, {"bigtiff": "yes"})
+    out = str(tmp_path / "big.tif")
+    T.write_tiff(out, arr.copy(), p)
+    with open(out, "rb") as f:
+        assert f.read(4) == b"II+\0"  # magic 43
+    arr2, prof2 = T.read_tiff(out)
+    assert prof2.bigtiff
+    assert np.array_equal(arr, arr2)
+    assert prof2.geo == prof.geo
+
+
+def test_structure_read_beyond_header_window(tmp_path):
+    """The writer places the IFD at the file TAIL (streaming assembly);
+    a 64-byte prefetch forces every structure read through the range
+    fetch — the old fixed-window parse either failed or silently
+    truncated tag payloads here."""
+    arr, prof = T.read_tiff(f"{REF}/rgb8.tif")
+    out = str(tmp_path / "tail.tif")
+    T.write_tiff(out, arr.copy(), prof)
+    with open(out, "rb") as f:
+        prefix = f.read(64)
+        prof2, chunks = T.read_ifd_fetch(T.file_fetch(f, prefix))
+    assert prof2.geo == prof.geo  # byte-exact payloads despite tiny window
+    assert len(chunks) == 224
+    # and the in-memory parser now fails LOUDLY on a truncated buffer
+    with open(out, "rb") as f:
+        head = f.read(4096)
+    with pytest.raises(ValueError, match="beyond"):
+        T.read_ifd(head)
 
 
 # -- Spark bridge ------------------------------------------------------------
@@ -156,8 +210,11 @@ def test_uint16_colorinterp_preserved(spark, tmp_path):
 
 
 def test_creation_options_change_container(spark, tmp_path):
-    """Reference test_creation_opts (with deflate standing in for the
-    stubbed jpeg codec): --co compress=X demonstrably lands in the file."""
+    """Reference test_creation_opts: --co compress=X demonstrably lands
+    in the file — including the reference's literal compress=jpeg
+    contract (tests/test_cli.py:128,137,146,169) at PSNR>=40dB."""
+    from rio_color_spark.sources.jpeg import psnr
+
     tbl = str(tmp_path / "tbl")
     TB.ingest_tiff(spark, f"{REF}/rgb8.tif", tbl)
     out = str(tmp_path / "defl.tif")
@@ -166,9 +223,50 @@ def test_creation_options_change_container(spark, tmp_path):
     arr1, prof1 = T.read_tiff(out)
     assert prof1.compression == T.COMPRESSION_DEFLATE
     assert np.array_equal(arr0, arr1)
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        TB.export_tiff(spark, tbl, str(tmp_path / "j.tif"),
-                       creation_options={"compress": "jpeg"})
+    outj = str(tmp_path / "j.tif")
+    TB.export_tiff(spark, tbl, outj, creation_options={"compress": "jpeg"})
+    arrj, profj = T.read_tiff(outj)
+    assert profj.compression == T.COMPRESSION_JPEG
+    assert psnr(arr0, arrj) >= 40.0
+
+
+def test_export_retiling_regrids_distributed(spark, tmp_path):
+    """--co blockxsize/blockysize with a CHANGED grid: pixel blocks are
+    re-gridded on executors (mirrors GDAL's arbitrary block-size
+    rewrite); the decoded full-raster array is bit-identical."""
+    tbl = str(tmp_path / "tbl")
+    TB.ingest_tiff(spark, f"{REF}/rgb8.tif", tbl)
+    arr0, prof0 = T.read_tiff(f"{REF}/rgb8.tif")
+    # 32x32 -> 64x96 tiles
+    out = str(tmp_path / "retiled.tif")
+    TB.export_tiff(spark, tbl, out,
+                   creation_options={"blockxsize": "64", "blockysize": "96"})
+    arr1, prof1 = T.read_tiff(out)
+    assert (prof1.tile_width, prof1.tile_height) == (64, 96)
+    assert np.array_equal(arr0, arr1)
+    assert prof1.geo == prof0.geo
+    # tiled -> stripped is a grid change too
+    outs = str(tmp_path / "stripped.tif")
+    TB.export_tiff(spark, tbl, outs, creation_options={"tiled": "no"})
+    arr2, prof2 = T.read_tiff(outs)
+    assert not prof2.tiled
+    assert np.array_equal(arr0, arr2)
+
+
+def test_export_bigtiff_creation_option(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    TB.ingest_tiff(spark, f"{REF}/rgb8.tif", tbl)
+    out = str(tmp_path / "big.tif")
+    TB.export_tiff(spark, tbl, out, creation_options={"bigtiff": "yes"})
+    with open(out, "rb") as f:
+        assert f.read(4) == b"II+\0"
+    arr0, _ = T.read_tiff(f"{REF}/rgb8.tif")
+    arr1, _ = T.read_tiff(out)
+    assert np.array_equal(arr0, arr1)
+    # and the bigtiff container ingests back through the range-read path
+    tbl2 = str(tmp_path / "tbl2")
+    TB.ingest_tiff(spark, out, tbl2)
+    assert spark.read.parquet(tbl2).count() == 224
 
 
 def test_out_dtype_conversion_roundtrip(spark, tmp_path):
