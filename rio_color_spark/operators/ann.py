@@ -194,28 +194,38 @@ def lsh_bucket_topk(
     With ``n_tables == 1`` the output keeps the reference single-table
     shape (query_id, bucket, neighbor_id, cosine, rank); multi-table drops
     the ``bucket`` column (a pair can qualify via several buckets).
+
+    Plan shape: the (table, bucket) candidate exchange carries ONLY
+    (table, bucket, id) — embeddings never ride the bucket shuffle (at
+    100 TB the vectors dwarf the keys); survivors fetch their vectors by
+    id-join for the cosine verify, same as :func:`cosine_neardup_pairs`.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     tagged = base.select(
         "id",
-        "v",
         F.posexplode(buckets_udf(dim, n_tables)(F.col("v"))).alias("tbl", "bucket"),
     )
     q = tagged.filter(query_filter) if query_filter is not None else tagged
-    q = q.select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"), "tbl", "bucket"
-    )
-    c = tagged.select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "tbl", "bucket"
-    )
-    pairs = q.join(c, ["tbl", "bucket"]).filter(
+    qk = q.select(F.col("id").alias("query_id"), "tbl", "bucket")
+    ck = tagged.select(F.col("id").alias("neighbor_id"), "tbl", "bucket")
+    cand = qk.join(ck, ["tbl", "bucket"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     if n_tables > 1:
         # a pair can match in several tables — dedupe on the narrow keys
-        # before the (64-term) cosine evaluation
-        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
-    pairs = pairs.withColumn("cosine", cosine_udf()(F.col("qv"), F.col("cv")))
+        # before fetching vectors / evaluating the (64-term) cosine
+        cand = cand.select("query_id", "neighbor_id").dropDuplicates(
+            ["query_id", "neighbor_id"]
+        )
+    else:
+        cand = cand.select("query_id", "bucket", "neighbor_id")
+    va = base.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    vb = base.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+    pairs = (
+        cand.join(va, "query_id")
+        .join(vb, "neighbor_id")
+        .withColumn("cosine", cosine_udf()(F.col("qv"), F.col("cv")))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

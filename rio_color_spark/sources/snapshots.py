@@ -81,6 +81,89 @@ def _stat_jsonable(v):
     return v
 
 
+def _keep_row(
+    r: dict, name_to_id: dict, type_of_id: dict, specs: dict, predicates: dict,
+) -> bool:
+    """Per-file pruning decision — the single source of truth shared by
+    the driver planning loop and the distributed manifest scan (both in
+    :meth:`SnapshotTable.plan_files`); a parity test pins that the two
+    paths keep identical sets. ``predicates`` bounds must already be
+    normalized via :func:`_stat_jsonable`; ``specs`` maps spec_id →
+    partition-spec dict."""
+    lo = json.loads(r["lower_bounds"])
+    hi = json.loads(r["upper_bounds"])
+    for name, (p_lo, p_hi) in predicates.items():
+        fid = name_to_id.get(name, -1)
+        sfid = str(fid)
+        if sfid in lo:
+            if p_lo is not None and hi[sfid] < p_lo:
+                return False
+            if p_hi is not None and lo[sfid] > p_hi:
+                return False
+        if not _partition_may_match(
+            r, specs, fid, type_of_id.get(fid), p_lo, p_hi
+        ):
+            return False
+    return True
+
+
+def _partition_may_match(
+    row: dict, specs: dict, fid: int, src_type: str | None, p_lo, p_hi,
+) -> bool:
+    """Partition-spec evaluator: can any row of this file satisfy the
+    predicate, judged from the file's hidden-partition tuple alone?
+    Conservative: unknown spec / null tuple value / undecidable
+    transform → True (never prunes a matching file)."""
+    part = json.loads(row.get("partition") or "{}")
+    if not part or src_type is None:
+        return True
+    spec = specs.get(int(row.get("spec_id") or 0))
+    if spec is None:
+        return True
+    is_str = src_type in ("string", "varchar")
+    for pf in spec["fields"]:
+        if pf["source_id"] != fid:
+            continue
+        raw = part.get(pf["name"])
+        if raw is None:
+            continue  # null partition value — cannot prune
+        t = pf["transform"]
+        # Every branch is wrapped conservative: a directory-string
+        # partition value the driver can't parse for this source type
+        # (double/date identity, exotic truncate) KEEPS the file —
+        # pruning may only ever skip provably-impossible files.
+        try:
+            if t == "identity":
+                v = raw if is_str else int(raw)
+                if p_lo is not None and v < p_lo:
+                    return False
+                if p_hi is not None and v > p_hi:
+                    return False
+            elif t == "truncate":
+                w = int(pf["param"])
+                if is_str:
+                    # every value in the file starts with `raw` (w
+                    # chars): prefix > hi ⇒ all values > hi; prefix <
+                    # lo's prefix ⇒ all values < lo
+                    if p_hi is not None and raw > str(p_hi):
+                        return False
+                    if p_lo is not None and raw < str(p_lo)[:w]:
+                        return False
+                else:
+                    b = int(raw)
+                    if p_hi is not None and b > p_hi:
+                        return False
+                    if p_lo is not None and b + w - 1 < p_lo:
+                        return False
+            elif t == "bucket" and p_lo is not None and p_lo == p_hi:
+                # point predicate: the row's bucket is fully determined
+                if int(raw) != _transform_value(pf, src_type, p_lo):
+                    return False
+        except (ValueError, TypeError):
+            continue
+    return True
+
+
 # -- Spark-free DDL parsing ---------------------------------------------------
 # PySpark 4.x routes StructType.fromDDL through the active SparkContext, so
 # metadata-only operations (create / add_column) would silently grow a JVM
@@ -769,6 +852,10 @@ class SnapshotTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         predicates: dict[str, tuple] | None = None,
+        *,
+        spark: SparkSession | None = None,
+        distributed: bool | None = None,
+        distributed_threshold: int = 50_000,
     ) -> tuple[list[dict], dict]:
         """Manifest rows surviving min/max pruning + a planning report.
 
@@ -777,6 +864,16 @@ class SnapshotTable:
         works across renames). A file is kept unless its stats OR its
         hidden-partition tuple prove no row can match — Iceberg's
         inclusive metrics evaluator + partition-spec evaluator.
+
+        Planning is driver-side by default (milliseconds to ~10⁴ files,
+        no Spark job — Iceberg's posture for small manifests). Past
+        ``distributed_threshold`` manifest rows (footer count, no data
+        read) and given a ``spark`` session, the per-file evaluation runs
+        as a distributed scan OVER the manifest parquet itself —
+        Iceberg's distributed planning mode for 10⁶+-file tables. Both
+        paths share :func:`_keep_row`, so the kept-set is identical by
+        construction (pinned by a parity test). ``distributed=True/False``
+        forces the choice.
         """
         meta = self.metadata()
         snap = self._resolve_snapshot(meta, snapshot_id, as_of_ms)
@@ -787,99 +884,86 @@ class SnapshotTable:
         )
         name_to_id = {f["name"]: f["id"] for f in read_schema["fields"]}
         type_of_id = {f["id"]: f["type"] for f in read_schema["fields"]}
-        rows = self._manifest_rows(snap)
-        kept = []
-        for r in rows:
-            lo = json.loads(r["lower_bounds"])
-            hi = json.loads(r["upper_bounds"])
-            keep = True
-            for name, (p_lo, p_hi) in (predicates or {}).items():
-                fid = name_to_id.get(name, -1)
-                sfid = str(fid)
-                # date/timestamp bounds are stored as fixed-width ISO
-                # strings — normalize the predicate side identically so
-                # the comparisons stay type-consistent
-                p_lo, p_hi = _stat_jsonable(p_lo), _stat_jsonable(p_hi)
-                if sfid in lo:
-                    if p_lo is not None and hi[sfid] < p_lo:
-                        keep = False
-                        break
-                    if p_hi is not None and lo[sfid] > p_hi:
-                        keep = False
-                        break
-                if not self._partition_may_match(
-                    meta, r, fid, type_of_id.get(fid), p_lo, p_hi
-                ):
-                    keep = False
-                    break
-            if keep:
-                kept.append(r)
-        report = {
-            "snapshot_id": snap["snapshot_id"],
-            "files_total": len(rows),
-            "files_scanned": len(kept),
-            "rows_total": sum(r["n_rows"] for r in rows),
-            "rows_scanned": sum(r["n_rows"] for r in kept),
+        # normalize predicate bounds ONCE, identically for both paths
+        # (date/timestamp bounds are stored as fixed-width ISO strings —
+        # the predicate side must compare type-consistently)
+        norm_preds = {
+            name: (_stat_jsonable(p_lo), _stat_jsonable(p_hi))
+            for name, (p_lo, p_hi) in (predicates or {}).items()
         }
+        specs = {s["spec_id"]: s for s in meta.get("partition_specs", [])}
+        manifest_path = os.path.join(self.base, snap["manifest"])
+
+        if distributed is None:
+            import pyarrow.parquet as pq
+
+            n_manifest = pq.ParquetFile(manifest_path).metadata.num_rows
+            use_dist = spark is not None and n_manifest >= distributed_threshold
+        else:
+            use_dist = bool(distributed) and spark is not None
+        if use_dist:
+            kept, report = self._plan_files_distributed(
+                spark, manifest_path, name_to_id, type_of_id, specs, norm_preds
+            )
+        else:
+            rows = self._manifest_rows(snap)
+            kept = [
+                r for r in rows
+                if _keep_row(r, name_to_id, type_of_id, specs, norm_preds)
+            ]
+            report = {
+                "files_total": len(rows),
+                "files_scanned": len(kept),
+                "rows_total": sum(r["n_rows"] for r in rows),
+                "rows_scanned": sum(r["n_rows"] for r in kept),
+            }
+        report["snapshot_id"] = snap["snapshot_id"]
         return kept, report
 
-    def _partition_may_match(
-        self, meta: dict, row: dict, fid: int, src_type: str | None,
-        p_lo, p_hi,
-    ) -> bool:
-        """Partition-spec evaluator: can any row of this file satisfy the
-        predicate, judged from the file's hidden-partition tuple alone?
-        Conservative: unknown spec / null tuple value / undecidable
-        transform → True (never prunes a matching file)."""
-        part = json.loads(row.get("partition") or "{}")
-        if not part or src_type is None:
-            return True
-        try:
-            spec = self.partition_spec(row.get("spec_id", 0), meta)
-        except KeyError:
-            return True
-        is_str = src_type in ("string", "varchar")
-        for pf in spec["fields"]:
-            if pf["source_id"] != fid:
-                continue
-            raw = part.get(pf["name"])
-            if raw is None:
-                continue  # null partition value — cannot prune
-            t = pf["transform"]
-            # Every branch is wrapped conservative: a directory-string
-            # partition value the driver can't parse for this source type
-            # (double/date identity, exotic truncate) KEEPS the file —
-            # pruning may only ever skip provably-impossible files.
-            try:
-                if t == "identity":
-                    v = raw if is_str else int(raw)
-                    if p_lo is not None and v < p_lo:
-                        return False
-                    if p_hi is not None and v > p_hi:
-                        return False
-                elif t == "truncate":
-                    w = int(pf["param"])
-                    if is_str:
-                        # every value in the file starts with `raw` (w
-                        # chars): prefix > hi ⇒ all values > hi; prefix <
-                        # lo's prefix ⇒ all values < lo
-                        if p_hi is not None and raw > str(p_hi):
-                            return False
-                        if p_lo is not None and raw < str(p_lo)[:w]:
-                            return False
-                    else:
-                        b = int(raw)
-                        if p_hi is not None and b > p_hi:
-                            return False
-                        if p_lo is not None and b + w - 1 < p_lo:
-                            return False
-                elif t == "bucket" and p_lo is not None and p_lo == p_hi:
-                    # point predicate: the row's bucket is fully determined
-                    if int(raw) != _transform_value(pf, src_type, p_lo):
-                        return False
-            except (ValueError, TypeError):
-                continue
-        return True
+    def _plan_files_distributed(
+        self,
+        spark: SparkSession,
+        manifest_path: str,
+        name_to_id: dict,
+        type_of_id: dict,
+        specs: dict,
+        predicates: dict,
+    ) -> tuple[list[dict], dict]:
+        """Spark-side manifest evaluation: the per-file json-decode +
+        pruning predicate (:func:`_keep_row` — the SAME function the
+        driver loop runs) executes on executors via ``mapInPandas`` over
+        the manifest parquet; the driver receives only the surviving
+        rows. O(kept) driver memory instead of O(files_total) Python-loop
+        time — the planning bottleneck the driver loop hits at 10⁶ files.
+        """
+        from pyspark.sql import functions as F
+
+        mdf = spark.read.parquet(manifest_path)
+
+        def prune(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                mask = [
+                    _keep_row(rec, name_to_id, type_of_id, specs, predicates)
+                    for rec in pdf.to_dict("records")
+                ]
+                out = pdf[pd.Series(mask, index=pdf.index)]
+                if len(out):
+                    yield out
+
+        kept = [r.asDict() for r in mdf.mapInPandas(prune, schema=mdf.schema).collect()]
+        tot = mdf.agg(
+            F.count("*").alias("files"), F.sum("n_rows").alias("rows")
+        ).collect()[0]
+        report = {
+            "files_total": int(tot["files"]),
+            "files_scanned": len(kept),
+            "rows_total": int(tot["rows"] or 0),
+            "rows_scanned": sum(r["n_rows"] for r in kept),
+            "planned_distributed": True,
+        }
+        return kept, report
 
     def read(
         self,
@@ -907,7 +991,8 @@ class SnapshotTable:
         if snap is None:
             return spark.createDataFrame([], ddl)
         kept, _ = self.plan_files(
-            snapshot_id=snapshot_id, as_of_ms=as_of_ms, predicates=predicates
+            snapshot_id=snapshot_id, as_of_ms=as_of_ms, predicates=predicates,
+            spark=spark,  # auto-distributed planning past the manifest threshold
         )
         if not kept:
             return spark.createDataFrame([], ddl)

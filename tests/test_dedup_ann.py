@@ -96,6 +96,23 @@ def test_cosine_neardup_verifies_exact_cosine(embs):
         assert v == pytest.approx(exact[k], abs=1e-9)
 
 
+@pytest.mark.parametrize("n_tables", [1, 3])
+def test_lsh_bucket_exchange_is_narrow(embs, n_tables):
+    """The (tbl, bucket) candidate exchange must carry ids only — the
+    embedding vectors are fetched by id-join AFTER candidate generation
+    (at 100 TB the vectors dwarf the keys)."""
+    out = ANN.lsh_bucket_topk(
+        embs, k=3, dim=DIM, query_filter=F.col("id") < 10, n_tables=n_tables
+    )
+    plan = _plan(out)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)[^\n]*", plan):
+        line = m.group(0)
+        if "bucket" in line or "tbl" in line:
+            assert "embedding" not in line and "qv" not in line and "cv" not in line, line
+    assert "CartesianProduct" not in plan
+    assert out.count() > 0
+
+
 def test_brute_force_topk_requires_bounded_queries(embs):
     with pytest.raises(ValueError, match="bounded query side"):
         ANN.brute_force_topk(embs, k=3, query_filter=None)
