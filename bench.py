@@ -32,7 +32,12 @@ CPU+DRAM envelopes, per-round efficiency pairs) is written to
   8→32 crosses the host's memory-bandwidth/SMT wall and is reported with
   its envelope for context.
 - ``images_per_sec`` is the canonical configured level ($SPARK_GRAFT_CPUS,
-  default 32); ``best_rate_images_per_sec`` is the best across levels.
+  default 32) — unless that level is CONGESTED (its best window measured
+  > 2x below its last-clean-window reference in
+  BENCH/reference_rates.json, and cooldown retries didn't recover it), in
+  which case the headline comes from the fastest clean level and the
+  congested value is quarantined to ``scaling.congested_levels``.
+  ``best_rate_images_per_sec`` is the best across levels.
 
 Usage: python bench.py            # full bench, one JSON line on stdout
        python bench.py --pipeline-only --cpus 8 --pin --images <p> --n <rows>
@@ -360,6 +365,103 @@ def _pipeline_only(args) -> None:
 GATE_RETRIES = int(os.environ.get("SPARK_GRAFT_GATE_RETRIES", "3"))
 GATE_RETRY_SLEEP_S = int(os.environ.get("SPARK_GRAFT_GATE_RETRY_SLEEP", "180"))
 
+#: -- congestion detection against last-clean-window references (r5 verdict) --
+#: The r5 artifact's headline (700.8 img/s) came from ONE congested
+#: un-retried local[32] run while three r4 windows had measured the same
+#: code at up to 16131.6 img/s. The fix: BENCH/reference_rates.json carries
+#: each level's last-clean-window rate; a level whose best-of-window rate
+#: is > CONGESTION_FACTOR slower than its reference is declared congested
+#: and re-measured after a cooldown with TOP retry priority (before gate
+#: retries / extension rounds are even attempted), and the headline is
+#: never sourced from a level still congested after retries — its value is
+#: quarantined to the compact line's `congested_levels` block + evidence.
+REF_RATES_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "reference_rates.json"
+)
+CONGESTION_FACTOR = float(os.environ.get("SPARK_GRAFT_CONGESTION_FACTOR", "2.0"))
+CONGESTION_RETRIES = int(os.environ.get("SPARK_GRAFT_CONGESTION_RETRIES", "2"))
+CONGESTION_SLEEP_S = int(os.environ.get("SPARK_GRAFT_CONGESTION_SLEEP", "120"))
+
+
+def _load_refs(n_images: int) -> dict[int, float]:
+    """level → last-clean-window images/sec, ONLY when the stored basis
+    matches this run's image count (rates don't transfer across scales:
+    fixed startup costs amortize differently)."""
+    try:
+        with open(REF_RATES_PATH) as f:
+            doc = json.load(f)
+        if int(doc.get("n_images_basis", -1)) != int(n_images):
+            return {}
+        return {
+            int(c): float(v["images_per_sec"])
+            for c, v in doc.get("levels", {}).items()
+        }
+    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        return {}
+
+
+def _update_refs(runs: dict[int, list[dict]], n_images: int) -> None:
+    """Record this run's clean windows as the new references. A level
+    updates only when its best run was within CONGESTION_FACTOR of the old
+    reference (i.e. a clean window was actually observed — congested
+    measurements never poison the reference); a faster-than-reference
+    window always raises it. Envelope caps keep a running max as evidence
+    of the host's clean capacity."""
+    try:
+        with open(REF_RATES_PATH) as f:
+            doc = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        doc = {}
+    if int(doc.get("n_images_basis", n_images)) != int(n_images):
+        return  # different basis on disk — leave it alone
+    doc.setdefault("n_images_basis", int(n_images))
+    levels = doc.setdefault("levels", {})
+    for c, rs in runs.items():
+        if not rs:
+            continue
+        best = min(rs, key=lambda r: r["seconds"])
+        rate = n_images / best["seconds"]
+        old = levels.get(str(c), {})
+        old_rate = float(old.get("images_per_sec", 0.0))
+        if old_rate and rate < old_rate / CONGESTION_FACTOR:
+            continue  # no clean window at this level this run
+        env_cpu = max(
+            (r["env_before"]["cpu"] + r["env_after"]["cpu"]) / 2 for r in rs
+        )
+        env_dram = max(
+            (r["env_before"]["dram_gbs"] + r["env_after"]["dram_gbs"]) / 2
+            for r in rs
+        )
+        levels[str(c)] = {
+            "images_per_sec": round(rate, 1),
+            "env_cpu": round(max(env_cpu, float(old.get("env_cpu", 0.0))), 1),
+            "env_dram_gbs": round(
+                max(env_dram, float(old.get("env_dram_gbs", 0.0))), 1
+            ),
+            "source": "last bench run (auto-updated)",
+        }
+    try:
+        with open(REF_RATES_PATH, "w") as f:
+            json.dump(doc, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: references just stay as they were
+
+
+def _congested(
+    refs: dict[int, float], runs: dict[int, list[dict]], n_images: int,
+    levels: tuple[int, ...],
+) -> list[int]:
+    """Levels whose best observed rate is > CONGESTION_FACTOR below their
+    last-clean-window reference (no reference → never congested)."""
+    out = []
+    for c in levels:
+        if c not in refs or not runs.get(c):
+            continue
+        best = min(r["seconds"] for r in runs[c])
+        if (n_images / best) < refs[c] / CONGESTION_FACTOR:
+            out.append(c)
+    return out
+
 
 def _round_cost_est(runs: dict[int, list[dict]], levels: tuple[int, ...]) -> float:
     """Wall cost estimate of ONE more interleaved round at ``levels``:
@@ -428,6 +530,32 @@ def _scaling_block(img_path: str, n_images: int) -> tuple[dict, dict, dict]:
         runs, NORTH_PAIR, SCALING_ROUNDS, img_path, n_images,
         min_rounds=2, label="north-pair base window",
     )
+    # CONGESTION RETRIES FIRST (r5 verdict): any level measuring >2x below
+    # its last-clean-window reference gets a cooldown + re-measurement
+    # BEFORE any other retry class can spend the budget — these windows
+    # are the difference between recording capacity and recording weather.
+    refs = _load_refs(n_images)
+    congestion_windows = 0
+    for _attempt in range(CONGESTION_RETRIES):
+        cong = _congested(refs, runs, n_images, NORTH_PAIR)
+        if not cong:
+            break
+        if _remaining() < (
+            CONGESTION_SLEEP_S
+            + _round_cost_est(runs, tuple(cong))
+            + FINAL_MARGIN_S
+        ):
+            _shed(
+                f"congestion retries shed (budget); levels {cong} still "
+                f">{CONGESTION_FACTOR}x below reference"
+            )
+            break
+        congestion_windows += 1
+        time.sleep(CONGESTION_SLEEP_S)
+        _run_rounds(
+            runs, tuple(cong), 1, img_path, n_images,
+            min_rounds=1, label=f"congestion retry {congestion_windows}",
+        )
     scaling, per_query, full = _summarize_scaling(runs, n_images)
     # fixed-sample (unconditional) gate estimate: the base window's value
     # BEFORE any value-conditioned resampling. Budget shedding above is
@@ -476,6 +604,27 @@ def _scaling_block(img_path: str, n_images: int) -> tuple[dict, dict, dict]:
             min_rounds=1, label="local[32] extension",
         )
         ext += 1
+    # local[32] congestion retries: same top-priority re-measurement as the
+    # north pair, applied to the informational level the r5 headline was
+    # wrongly sourced from (one congested un-retried run)
+    for _attempt in range(CONGESTION_RETRIES):
+        cong = _congested(refs, runs, n_images, (32,))
+        if not cong:
+            break
+        if _remaining() < (
+            CONGESTION_SLEEP_S + _round_cost_est(runs, (32,)) + FINAL_MARGIN_S
+        ):
+            _shed(
+                f"local[32] congestion retries shed (budget); still "
+                f">{CONGESTION_FACTOR}x below reference"
+            )
+            break
+        congestion_windows += 1
+        time.sleep(CONGESTION_SLEEP_S)
+        _run_rounds(
+            runs, (32,), 1, img_path, n_images,
+            min_rounds=1, label=f"congestion retry {congestion_windows}",
+        )
     scaling, per_query, full = _summarize_scaling(runs, n_images)
     # monotonic-rate sanity: 4x the cores measuring SLOWER than the smaller
     # level is physically impossible for this engine (measured 6.4 s at
@@ -515,6 +664,25 @@ def _scaling_block(img_path: str, n_images: int) -> tuple[dict, dict, dict]:
     scaling["anomaly_retry_windows"] = anomaly_retries
     scaling["efficiency_2_to_8_fixed_sample"] = fixed_sample_eff
     scaling["gate_estimator"] = "best-window capacity (conditional resampling)"
+    # final congestion verdict per level: quarantine for headline selection
+    # (main() refuses to source images_per_sec from a congested level) and
+    # the measured-vs-reference evidence for the record's reader
+    scaling["congestion_retry_windows"] = congestion_windows
+    final_cong = _congested(
+        refs, runs, n_images, tuple(c for c in SCALING_LEVELS if runs.get(c))
+    )
+    if final_cong:
+        scaling["congested_levels"] = {
+            str(c): {
+                "measured_images_per_sec": round(
+                    n_images / min(r["seconds"] for r in runs[c]), 1
+                ),
+                "reference_images_per_sec": refs[c],
+            }
+            for c in final_cong
+        }
+    # persist this run's clean windows as the next run's references
+    _update_refs(runs, n_images)
     return scaling, per_query, full
 
 
@@ -636,12 +804,27 @@ def main() -> None:
         scaling, pq, full_evidence = _scaling_block(img_path, n_images)
         per_query.update(pq)
         canonical = int(CPUS) if CPUS != "*" else 32
-        images_per_sec = scaling.get(
-            f"local[{canonical}]_images_per_sec",
-            max(
-                v for k, v in scaling.items() if k.endswith("images_per_sec")
-            ),
-        )
+        # headline sourcing (r5 verdict): NEVER from a level still
+        # congested after retries — prefer the canonical level if clean,
+        # else the fastest clean level; if no level saw a clean window all
+        # run, say so explicitly and fall back to the best measured rate
+        # (the congested evidence rides in scaling.congested_levels).
+        cong = {int(c) for c in scaling.get("congested_levels", {})}
+        rate_of = {
+            c: scaling[f"local[{c}]_images_per_sec"]
+            for c in SCALING_LEVELS
+            if f"local[{c}]_images_per_sec" in scaling
+        }
+        clean = {c: v for c, v in rate_of.items() if c not in cong}
+        if canonical in clean:
+            headline_level = canonical
+        elif clean:
+            headline_level = max(clean, key=clean.get)
+        else:
+            headline_level = max(rate_of, key=rate_of.get)
+            scaling["no_clean_window"] = True
+        images_per_sec = rate_of[headline_level]
+        scaling["headline_level"] = headline_level
         scaling["best_rate_images_per_sec"] = max(
             v
             for k, v in scaling.items()
