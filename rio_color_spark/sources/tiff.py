@@ -190,6 +190,15 @@ def lzw_encode(data: bytes) -> bytes:
         run = c
     if run:
         w.put(table[run], nbits)
+        # the decoder appends a table entry after EVERY data code —
+        # including this final one — and may early-change widen before
+        # reading EOI; mirror that here or EOI is written one bit too
+        # narrow whenever the final code lands exactly on a width
+        # boundary (libtiff's LZWPostEncode increments free_ent for the
+        # same reason)
+        next_code += 1
+        if next_code == (1 << nbits) and nbits < 12:
+            nbits += 1
     w.put(_EOI, nbits)
     return w.flush()
 
@@ -221,6 +230,9 @@ class TiffProfile:
     #: JPEG quality for compress=jpeg exports (GDAL JPEG_QUALITY analogue;
     #: default chosen so real raster content clears the PSNR≥40dB gate)
     jpeg_quality: int = 95
+    #: PlanarConfiguration: 1 = chunky (pixel-interleaved), 2 = planar
+    #: (band-separate — each tile/strip holds ONE band's samples)
+    planar: int = 1
 
     @property
     def np_dtype(self) -> np.dtype:
@@ -254,6 +266,9 @@ class ChunkRef:
     stored_height: int
     offset: int
     nbytes: int
+    #: band index for planar (PlanarConfiguration=2) chunks; -1 = chunky
+    #: (the chunk carries ALL bands pixel-interleaved)
+    plane: int = -1
 
 
 # -- reader ------------------------------------------------------------------
@@ -386,8 +401,11 @@ def read_ifd_fetch(fetch) -> tuple[TiffProfile, list[ChunkRef]]:
         raise NotImplementedError(f"unsupported TIFF compression {comp}")
     if comp == COMPRESSION_JPEG and bits[0] != 8:
         raise NotImplementedError("JPEG-in-TIFF is 8-bit only")
-    if one(TAG_PLANAR, 1) != 1:
-        raise NotImplementedError("planar (band-separate) TIFF not supported")
+    planar = one(TAG_PLANAR, 1)
+    if planar not in (1, 2):
+        raise NotImplementedError(f"unsupported PlanarConfiguration {planar}")
+    if planar == 2 and comp == COMPRESSION_JPEG:
+        raise NotImplementedError("JPEG with planar (band-separate) layout")
     predictor = one(TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"unsupported predictor {predictor}")
@@ -410,6 +428,7 @@ def read_ifd_fetch(fetch) -> tuple[TiffProfile, list[ChunkRef]]:
         extrasamples=extrasamples,
         geo=geo,
         bigtiff=bigtiff,
+        planar=planar,
     )
 
     chunks: list[ChunkRef] = []
@@ -420,10 +439,15 @@ def read_ifd_fetch(fetch) -> tuple[TiffProfile, list[ChunkRef]]:
         counts = vals(TAG_TILE_COUNTS)
         across = -(-width // tw)
         down = -(-height // th)
-        if len(offsets) != across * down:
+        per_plane = across * down
+        n_planes = spp if planar == 2 else 1
+        if len(offsets) != per_plane * n_planes:
             raise ValueError("tile count mismatch")
         for idx in range(len(offsets)):
-            r, c = divmod(idx, across)
+            # planar offsets are plane-major (TIFF 6.0: all of band 0's
+            # tiles, then band 1's, ...)
+            plane, s = divmod(idx, per_plane)
+            r, c = divmod(s, across)
             chunks.append(
                 ChunkRef(
                     index=idx,
@@ -435,6 +459,7 @@ def read_ifd_fetch(fetch) -> tuple[TiffProfile, list[ChunkRef]]:
                     stored_height=th,
                     offset=offsets[idx],
                     nbytes=counts[idx],
+                    plane=plane if planar == 2 else -1,
                 )
             )
     else:
@@ -445,8 +470,13 @@ def read_ifd_fetch(fetch) -> tuple[TiffProfile, list[ChunkRef]]:
         counts = vals(TAG_STRIP_COUNTS)
         if isinstance(offsets, bytes):  # single short strip edge case
             raise ValueError("unexpected strip offset encoding")
+        per_plane = -(-height // rps)
+        n_planes = spp if planar == 2 else 1
+        if len(offsets) != per_plane * n_planes:
+            raise ValueError("strip count mismatch")
         for idx in range(len(offsets)):
-            r0 = idx * rps
+            plane, s = divmod(idx, per_plane)
+            r0 = s * rps
             h = min(rps, height - r0)
             chunks.append(
                 ChunkRef(
@@ -459,6 +489,7 @@ def read_ifd_fetch(fetch) -> tuple[TiffProfile, list[ChunkRef]]:
                     stored_height=h,
                     offset=offsets[idx],
                     nbytes=counts[idx],
+                    plane=plane if planar == 2 else -1,
                 )
             )
     return prof, chunks
@@ -493,7 +524,9 @@ def decode_chunk(raw: bytes, prof: TiffProfile, chunk: ChunkRef) -> np.ndarray:
     else:
         buf = raw
     dt = prof.np_dtype
-    sw, sh, spp = chunk.stored_width, chunk.stored_height, prof.count
+    # a planar chunk carries exactly ONE band's samples
+    spp = 1 if chunk.plane >= 0 else prof.count
+    sw, sh = chunk.stored_width, chunk.stored_height
     expected = sw * sh * spp * dt.itemsize
     if len(buf) < expected:
         # stripped files may truncate the final strip to valid rows
@@ -552,7 +585,8 @@ def read_tiff(path: str) -> tuple[np.ndarray, TiffProfile]:
     out = np.zeros((prof.count, prof.height, prof.width), dtype=prof.np_dtype)
     for ch in chunks:
         tile = decode_chunk(data[ch.offset : ch.offset + ch.nbytes], prof, ch)
-        out[:, ch.row0 : ch.row0 + ch.height, ch.col0 : ch.col0 + ch.width] = tile
+        dst = out[ch.plane : ch.plane + 1] if ch.plane >= 0 else out
+        dst[:, ch.row0 : ch.row0 + ch.height, ch.col0 : ch.col0 + ch.width] = tile
     return out, prof
 
 
@@ -593,10 +627,15 @@ class TiffChunkWriter:
     """
 
     def __init__(self, path: str, prof: TiffProfile):
+        if prof.planar == 2 and prof.compression == COMPRESSION_JPEG:
+            raise NotImplementedError("JPEG with planar (band-separate) layout")
         self.prof = prof
         self.bigtiff = prof.bigtiff
         self.grid = _chunk_grid(prof)
-        n = len(self.grid)
+        # planar layout: one payload per (plane, spatial chunk), global
+        # index = plane * len(grid) + spatial (plane-major, TIFF 6.0)
+        self.n_planes = prof.count if prof.planar == 2 else 1
+        n = len(self.grid) * self.n_planes
         self._f = open(path, "wb")
         bo = "<"
         if self.bigtiff:
@@ -610,11 +649,13 @@ class TiffChunkWriter:
 
     @property
     def n_chunks(self) -> int:
-        return len(self.grid)
+        return len(self._counts)
 
     def add(self, index: int, payload: bytes) -> None:
-        if not 0 <= index < len(self.grid):
-            raise IndexError(f"chunk index {index} outside grid of {len(self.grid)}")
+        if not 0 <= index < len(self._counts):
+            raise IndexError(
+                f"chunk index {index} outside grid of {len(self._counts)}"
+            )
         if self._counts[index] >= 0:
             raise ValueError(f"duplicate payload for chunk {index}")
         self._offsets[index] = self._pos
@@ -629,7 +670,7 @@ class TiffChunkWriter:
         if missing:
             self._f.close()
             raise ValueError(
-                f"{len(missing)} of {len(self.grid)} chunk payloads missing "
+                f"{len(missing)} of {len(self._counts)} chunk payloads missing "
                 f"(first: {missing[:5]})"
             )
         prof, bo = self.prof, "<"
@@ -653,7 +694,7 @@ class TiffChunkWriter:
         add(TAG_COMPRESSION, 3, prof.compression)
         add(TAG_PHOTOMETRIC, 3, prof.photometric)
         add(TAG_SPP, 3, prof.count)
-        add(TAG_PLANAR, 3, 1)
+        add(TAG_PLANAR, 3, 2 if prof.planar == 2 else 1)
         if prof.predictor != 1:
             add(TAG_PREDICTOR, 3, prof.predictor)
         if prof.tiled:
@@ -712,24 +753,36 @@ def write_tiff_chunks(path: str, payloads: list[bytes], prof: TiffProfile) -> No
     """Assemble a TIFF from pre-compressed chunk payloads (index order must
     match :func:`_chunk_grid`). Thin wrapper over :class:`TiffChunkWriter`;
     the Spark export path streams into the writer directly."""
-    grid = _chunk_grid(prof)
-    if len(payloads) != len(grid):
-        raise ValueError(f"expected {len(grid)} chunk payloads, got {len(payloads)}")
     w = TiffChunkWriter(path, prof)
+    if len(payloads) != w.n_chunks:
+        raise ValueError(
+            f"expected {w.n_chunks} chunk payloads, got {len(payloads)}"
+        )
     for i, p in enumerate(payloads):
         w.add(i, p)
     w.close()
 
 
 def write_tiff(path: str, arr: np.ndarray, prof: TiffProfile) -> None:
-    """Whole-raster write: (count, height, width) array → TIFF."""
+    """Whole-raster write: (count, height, width) array → TIFF. Honors
+    ``prof.planar == 2`` (band-separate: each chunk encodes one band,
+    plane-major — GDAL's INTERLEAVE=BAND)."""
     if arr.ndim != 3:
         raise ValueError(f"expected (bands, h, w), got shape {arr.shape}")
     prof.count, prof.height, prof.width = arr.shape
-    payloads = [
-        encode_chunk(arr[:, r0 : r0 + vh, c0 : c0 + vw], prof, sw, sh)
-        for (r0, c0, vw, vh, sw, sh) in _chunk_grid(prof)
-    ]
+    if prof.planar == 2:
+        if prof.compression == COMPRESSION_JPEG:
+            raise NotImplementedError("JPEG with planar (band-separate) layout")
+        payloads = [
+            encode_chunk(arr[p : p + 1, r0 : r0 + vh, c0 : c0 + vw], prof, sw, sh)
+            for p in range(prof.count)
+            for (r0, c0, vw, vh, sw, sh) in _chunk_grid(prof)
+        ]
+    else:
+        payloads = [
+            encode_chunk(arr[:, r0 : r0 + vh, c0 : c0 + vw], prof, sw, sh)
+            for (r0, c0, vw, vh, sw, sh) in _chunk_grid(prof)
+        ]
     write_tiff_chunks(path, payloads, prof)
 
 
@@ -763,5 +816,11 @@ def apply_creation_options(prof: TiffProfile, co: dict[str, str]) -> TiffProfile
             p.bigtiff = v.lower() in ("true", "yes", "1", "if_safer")
         elif k == "jpeg_quality":
             p.jpeg_quality = int(v)
+        elif k == "interleave":
+            # GDAL INTERLEAVE=PIXEL|BAND → PlanarConfiguration 1|2
+            name = v.lower()
+            if name not in ("pixel", "band"):
+                raise ValueError(f"unknown interleave={v!r}")
+            p.planar = 2 if name == "band" else 1
         # unknown options pass through silently, matching GDAL's tolerance
     return p

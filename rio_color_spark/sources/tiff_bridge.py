@@ -59,9 +59,12 @@ MANIFEST = "_tiff_profile.json"
 #: demand through tiff.file_fetch — never silently truncated.
 _HEADER_BYTES = 4 << 20
 
+#: one row per SPATIAL chunk; planar (band-separate) sources carry one
+#: (offset, nbytes) pair per band in plane order — chunky sources one pair
 _CHUNK_META_SCHEMA = (
     "index int, row0 int, col0 int, width int, height int, "
-    "stored_width int, stored_height int, offset long, nbytes long"
+    "stored_width int, stored_height int, offsets array<long>, "
+    "nbytess array<long>"
 )
 
 
@@ -82,6 +85,7 @@ def _profile_to_json(prof: T.TiffProfile, n_chunks: int, source: str) -> str:
             "rows_per_strip": prof.rows_per_strip,
             "bigtiff": prof.bigtiff,
             "jpeg_quality": prof.jpeg_quality,
+            "planar": prof.planar,
             "geo": {str(t): [typ, cnt, payload.hex()] for t, (typ, cnt, payload) in prof.geo.items()},
             "n_chunks": n_chunks,
             "source": source,
@@ -107,6 +111,7 @@ def _profile_from_json(s: str) -> tuple[T.TiffProfile, int]:
         rows_per_strip=d["rows_per_strip"],
         bigtiff=d.get("bigtiff", False),
         jpeg_quality=d.get("jpeg_quality", 95),
+        planar=d.get("planar", 1),
         geo={int(t): (v[0], v[1], bytes.fromhex(v[2])) for t, v in d["geo"].items()},
     )
     return prof, d["n_chunks"]
@@ -135,27 +140,41 @@ def ingest_tiff(
     fmt = codec.fmt_for_dtype(prof.np_dtype, prof.count)
     stem = os.path.splitext(os.path.basename(tif_path))[0]
 
+    # one ingest row per SPATIAL chunk: a planar (band-separate) source
+    # contributes `count` byte ranges per row (one per band, plane order);
+    # the executor decodes each plane and stacks — same full-band output
+    # rows as a chunky source, no extra shuffle
+    if prof.planar == 2:
+        per_plane = len(chunks) // prof.count
+        groups = [
+            [chunks[p * per_plane + s] for p in range(prof.count)]
+            for s in range(per_plane)
+        ]
+    else:
+        groups = [[c] for c in chunks]
+
     meta = pd.DataFrame(
         {
-            "index": [c.index for c in chunks],
-            "row0": [c.row0 for c in chunks],
-            "col0": [c.col0 for c in chunks],
-            "width": [c.width for c in chunks],
-            "height": [c.height for c in chunks],
-            "stored_width": [c.stored_width for c in chunks],
-            "stored_height": [c.stored_height for c in chunks],
-            "offset": [c.offset for c in chunks],
-            "nbytes": [c.nbytes for c in chunks],
+            "index": [g[0].index for g in groups],
+            "row0": [g[0].row0 for g in groups],
+            "col0": [g[0].col0 for g in groups],
+            "width": [g[0].width for g in groups],
+            "height": [g[0].height for g in groups],
+            "stored_width": [g[0].stored_width for g in groups],
+            "stored_height": [g[0].stored_height for g in groups],
+            "offsets": [[c.offset for c in g] for g in groups],
+            "nbytess": [[c.nbytes for c in g] for g in groups],
         }
     )
     if parallelism is None:
-        parallelism = max(1, min(spark.sparkContext.defaultParallelism, len(chunks)))
+        parallelism = max(1, min(spark.sparkContext.defaultParallelism, len(groups)))
     meta_df = spark.createDataFrame(meta, schema=_CHUNK_META_SCHEMA).repartition(
         parallelism
     )
 
-    # decoder state shipped by value (tiny): the profile dict, not the file
-    prof_json = _profile_to_json(prof, len(chunks), tif_path)
+    # decoder state shipped by value (tiny): the profile dict, not the
+    # file; n_chunks counts SPATIAL chunks (== image-table rows)
+    prof_json = _profile_to_json(prof, len(groups), tif_path)
 
     def decode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p, _ = _profile_from_json(prof_json)
@@ -163,13 +182,21 @@ def ingest_tiff(
             for pdf in batches:
                 out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
                 for r in pdf.itertuples(index=False):
-                    f.seek(r.offset)
-                    raw = f.read(r.nbytes)
-                    ch = T.ChunkRef(
-                        r.index, r.row0, r.col0, r.width, r.height,
-                        r.stored_width, r.stored_height, r.offset, r.nbytes,
+                    planar = len(r.offsets) > 1
+                    planes = []
+                    for pi, (off, nb) in enumerate(zip(r.offsets, r.nbytess)):
+                        f.seek(int(off))
+                        raw = f.read(int(nb))
+                        ch = T.ChunkRef(
+                            r.index, r.row0, r.col0, r.width, r.height,
+                            r.stored_width, r.stored_height, int(off),
+                            int(nb), plane=pi if planar else -1,
+                        )
+                        planes.append(T.decode_chunk(raw, p, ch))
+                    arr = (
+                        planes[0] if len(planes) == 1
+                        else np.concatenate(planes, axis=0)
                     )
-                    arr = T.decode_chunk(raw, p, ch)
                     out["image_id"].append(f"{stem}:{r.index:06d}")
                     out["bytes"].append(codec.encode(arr, fmt))
                     out["w"].append(int(r.width))
@@ -185,12 +212,29 @@ def ingest_tiff(
         f.write(prof_json)
 
 
+def _planar_payloads(
+    arr: np.ndarray, p: T.TiffProfile, sw: int, sh: int,
+    spatial_idx: int, per_plane: int,
+) -> list[tuple[int, bytes]]:
+    """(global chunk index, payload) pairs for one full-band pixel block:
+    one pair for chunky output; `count` plane-major pairs (index =
+    plane * per_plane + spatial) for planar (INTERLEAVE=BAND) output."""
+    if p.planar == 2:
+        return [
+            (pl * per_plane + spatial_idx,
+             T.encode_chunk(arr[pl : pl + 1], p, sw, sh))
+            for pl in range(arr.shape[0])
+        ]
+    return [(spatial_idx, T.encode_chunk(arr, p, sw, sh))]
+
+
 def _encode_same_grid(df: DataFrame, prof_json: str) -> DataFrame:
     """Image-table rows → (index, payload): the source grid IS the target
     grid, so every row encodes independently (no shuffle at all)."""
 
     def encode_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p, _ = _profile_from_json(prof_json)
+        per_plane = len(T._chunk_grid(p))
         for pdf in batches:
             idxs, payloads = [], []
             for r in pdf.itertuples(index=False):
@@ -200,8 +244,11 @@ def _encode_same_grid(df: DataFrame, prof_json: str) -> DataFrame:
                     sw, sh = p.tile_width, p.tile_height
                 else:
                     sw, sh = p.width, r.h
-                idxs.append(idx)
-                payloads.append(T.encode_chunk(arr, p, sw, sh))
+                for gi, payload in _planar_payloads(
+                    arr, p, sw, sh, idx, per_plane
+                ):
+                    idxs.append(gi)
+                    payloads.append(payload)
             yield pd.DataFrame({"index": idxs, "payload": payloads})
 
     return df.mapInPandas(encode_rows, schema="index int, payload binary")
@@ -279,8 +326,11 @@ def _encode_regrid(df: DataFrame, in_prof_json: str, out_prof_json: str) -> Data
         for r in pdf.itertuples(index=False):
             blk = np.frombuffer(r.block, dtype=dt).reshape(pout.count, r.h, r.w)
             tile[:, r.y0 : r.y0 + r.h, r.x0 : r.x0 + r.w] = blk
-        payload = T.encode_chunk(tile, pout, sw, sh)
-        return pd.DataFrame({"index": [tgt], "payload": [payload]})
+        pairs = _planar_payloads(tile, pout, sw, sh, tgt, len(out_grid))
+        return pd.DataFrame(
+            {"index": [i for i, _ in pairs],
+             "payload": [pl for _, pl in pairs]}
+        )
 
     return pieces.groupBy("tgt").applyInPandas(
         assemble, schema="index int, payload binary"
@@ -327,6 +377,7 @@ def export_tiff(
         rows_per_strip=prof.rows_per_strip,
         bigtiff=prof.bigtiff,
         jpeg_quality=prof.jpeg_quality,
+        planar=prof.planar,  # interleave preserved; --co interleave=… overrides
         geo=prof.geo,
     )
     if creation_options:
@@ -347,9 +398,10 @@ def export_tiff(
         enc = _encode_regrid(df, in_json, out_json)
 
     writer = T.TiffChunkWriter(tif_path, out_prof)
-    if same_grid and writer.n_chunks != n_chunks:
+    if same_grid and writer.n_chunks != n_chunks * writer.n_planes:
         raise ValueError(
-            f"manifest expects {n_chunks} chunks, grid has {writer.n_chunks}"
+            f"manifest expects {n_chunks} spatial chunks x {writer.n_planes} "
+            f"plane(s), grid has {writer.n_chunks}"
         )
     for row in enc.toLocalIterator():
         writer.add(row["index"], bytes(row["payload"]))

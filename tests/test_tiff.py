@@ -43,6 +43,21 @@ def test_lzw_roundtrip_fuzz():
             assert T.lzw_decode(T.lzw_encode(data)) == data
 
 
+def test_lzw_final_code_on_width_boundary():
+    """Regression: when the FINAL flushed run code lands exactly on an
+    early-change boundary, the decoder widens before reading EOI — the
+    encoder must widen too or EOI is written one bit narrow (found via a
+    planar rgb8 band tile; libtiff's LZWPostEncode has the same
+    free_ent++ for this). Sweep lengths around the 9→10 bit boundary
+    (incompressible input ≈ one table entry per byte ⇒ boundary near
+    254 bytes) and around 10→11."""
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        for n in list(range(240, 280)) + list(range(740, 790, 7)):
+            data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            assert T.lzw_decode(T.lzw_encode(data)) == data, (seed, n)
+
+
 def test_lzw_matches_libtiff_ratio():
     """Our encoder's output size for the reference raster is within 1% of
     libtiff's — evidence the early-change timing matches (a mistimed
@@ -155,6 +170,38 @@ def test_structure_read_beyond_header_window(tmp_path):
         T.read_ifd(head)
 
 
+def test_planar_roundtrip_tiled_and_stripped(tmp_path):
+    """PlanarConfiguration=2 (band-separate — GDAL INTERLEAVE=BAND):
+    write/read round-trips for both layouts, and reading a planar file
+    yields the IDENTICAL array as the chunky twin."""
+    arr, prof = T.read_tiff(f"{REF}/rgb8.tif")
+    # tiled planar
+    p = T.apply_creation_options(prof, {"interleave": "band"})
+    assert p.planar == 2
+    out = str(tmp_path / "planar_tiled.tif")
+    T.write_tiff(out, arr.copy(), p)
+    arr2, prof2 = T.read_tiff(out)
+    assert prof2.planar == 2
+    assert np.array_equal(arr, arr2)
+    assert prof2.geo == prof.geo
+    # stripped planar with predictor
+    p2 = T.apply_creation_options(
+        p, {"tiled": "no", "compress": "deflate", "predictor": "2"}
+    )
+    p2.rows_per_strip = 64
+    out2 = str(tmp_path / "planar_strips.tif")
+    T.write_tiff(out2, arr.copy(), p2)
+    arr3, prof3 = T.read_tiff(out2)
+    assert prof3.planar == 2
+    assert np.array_equal(arr, arr3)
+    # jpeg + planar is an explicit fail-fast seam
+    with pytest.raises(NotImplementedError, match="planar"):
+        T.write_tiff(
+            str(tmp_path / "nope.tif"), arr.copy(),
+            T.apply_creation_options(p, {"compress": "jpeg"}),
+        )
+
+
 # -- Spark bridge ------------------------------------------------------------
 
 
@@ -170,6 +217,33 @@ def test_ingest_export_identity(spark, tmp_path):
     a1, p1 = T.read_tiff(out)
     assert np.array_equal(a0, a1)
     assert p1.geo == p0.geo
+
+
+def test_planar_ingest_export_preserves_interleave(spark, tmp_path):
+    """A band-separate source ingests to the SAME full-band image table
+    (each row stacks its per-plane byte ranges on the executor — no extra
+    shuffle) and re-exports as planar; --co interleave=pixel converts."""
+    arr, prof = T.read_tiff(f"{REF}/rgb8.tif")
+    src = str(tmp_path / "planar_src.tif")
+    T.write_tiff(src, arr.copy(), T.apply_creation_options(prof, {"interleave": "band"}))
+    tbl = str(tmp_path / "tbl")
+    TB.ingest_tiff(spark, src, tbl)
+    df = spark.read.parquet(tbl)
+    assert df.count() == 224  # spatial chunks, not 3x planes
+    # decoded pixel content matches the chunky reference ingest exactly
+    row = df.filter("image_id = 'planar_src:000000'").collect()[0]
+    blk = codec.decode(row["bytes"], row["w"], row["h"], row["fmt"])
+    assert np.array_equal(blk, arr[:, :32, :32])
+    # planar round-trip through the distributed export
+    out = str(tmp_path / "back.tif")
+    TB.export_tiff(spark, tbl, out)
+    a1, p1 = T.read_tiff(out)
+    assert p1.planar == 2 and np.array_equal(a1, arr)
+    # interleave conversion on export
+    out2 = str(tmp_path / "chunky.tif")
+    TB.export_tiff(spark, tbl, out2, creation_options={"interleave": "pixel"})
+    a2, p2 = T.read_tiff(out2)
+    assert p2.planar == 1 and np.array_equal(a2, arr)
 
 
 def test_color_correct_tiff_matches_library_chain(spark, tmp_path):
