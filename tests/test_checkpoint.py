@@ -244,3 +244,31 @@ def test_add_files_contract(spark, tmp_path):
         t3.add_files(files)
     with pytest.raises(ValueError, match="at least one"):
         t.add_files([])
+
+
+def test_stripe_schema_matches_spark(spark, tmp_path):
+    """The pyarrow footer→StructType shortcut used by chunk_plan must equal
+    Spark's own inference exactly (it feeds spark.read.schema on every
+    stripe), including binary/string/int widths of the images table."""
+    from rio_color_spark.pipeline import _list_data_files, _stripe_schema
+
+    src = str(tmp_path / "src")
+    images_df(spark, 50).write.parquet(src)
+    files, flat = _list_data_files(spark, src)
+    assert flat and files
+    assert _stripe_schema(spark, files[0]) == spark.read.parquet(src).schema
+
+
+def test_single_stripe_reads_whole_dir(spark, tmp_path):
+    """n_chunks=1 takes the directory fast path (one root path, no per-file
+    index) and still reads exactly the table's data files."""
+    from rio_color_spark.pipeline import chunk_plan
+
+    src = str(tmp_path / "src")
+    images_df(spark, 60).repartition(4).write.parquet(src)
+    readers, fps = chunk_plan(spark, src, 1)
+    df = readers[0]()
+    assert df.count() == 60
+    assert set(df.inputFiles()) == set(spark.read.parquet(src).inputFiles())
+    assert df.schema == spark.read.parquet(src).schema
+    assert fps[0] is not None
