@@ -12,7 +12,9 @@ GeoTIFF tags) plus the common neighbors:
   (version 43, 64-bit offsets — required past 4 GiB)
 - compression: none (1), LZW (5, with TIFF early-change), Deflate
   (8/32946), baseline JPEG (7, via sources/jpeg.py)
-- layout: tiled or stripped, chunky (PlanarConfiguration=1)
+- layout: tiled or stripped; chunky (PlanarConfiguration=1) or planar
+  (PlanarConfiguration=2, plane-major chunks; with JPEG each plane chunk
+  is a standalone 1-component grayscale stream, libtiff's SEPARATE shape)
 - samples: uint8 / uint16, 1-4 bands, alpha via ExtraSamples
 - predictor: 1 (none) and 2 (horizontal differencing)
 - GeoTIFF/GDAL tags preserved byte-for-byte as opaque (type, payload)
@@ -404,8 +406,8 @@ def read_ifd_fetch(fetch) -> tuple[TiffProfile, list[ChunkRef]]:
     planar = one(TAG_PLANAR, 1)
     if planar not in (1, 2):
         raise NotImplementedError(f"unsupported PlanarConfiguration {planar}")
-    if planar == 2 and comp == COMPRESSION_JPEG:
-        raise NotImplementedError("JPEG with planar (band-separate) layout")
+    # planar + JPEG is allowed: each band-separate chunk is a standalone
+    # 1-component (grayscale) JPEG stream — libtiff's SEPARATE+JPEG shape
     predictor = one(TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"unsupported predictor {predictor}")
@@ -627,8 +629,6 @@ class TiffChunkWriter:
     """
 
     def __init__(self, path: str, prof: TiffProfile):
-        if prof.planar == 2 and prof.compression == COMPRESSION_JPEG:
-            raise NotImplementedError("JPEG with planar (band-separate) layout")
         self.prof = prof
         self.bigtiff = prof.bigtiff
         self.grid = _chunk_grid(prof)
@@ -771,8 +771,6 @@ def write_tiff(path: str, arr: np.ndarray, prof: TiffProfile) -> None:
         raise ValueError(f"expected (bands, h, w), got shape {arr.shape}")
     prof.count, prof.height, prof.width = arr.shape
     if prof.planar == 2:
-        if prof.compression == COMPRESSION_JPEG:
-            raise NotImplementedError("JPEG with planar (band-separate) layout")
         payloads = [
             encode_chunk(arr[p : p + 1, r0 : r0 + vh, c0 : c0 + vw], prof, sw, sh)
             for p in range(prof.count)

@@ -194,12 +194,21 @@ def test_planar_roundtrip_tiled_and_stripped(tmp_path):
     arr3, prof3 = T.read_tiff(out2)
     assert prof3.planar == 2
     assert np.array_equal(arr, arr3)
-    # jpeg + planar is an explicit fail-fast seam
-    with pytest.raises(NotImplementedError, match="planar"):
-        T.write_tiff(
-            str(tmp_path / "nope.tif"), arr.copy(),
-            T.apply_creation_options(p, {"compress": "jpeg"}),
-        )
+    # jpeg + planar: each band-separate chunk is a standalone grayscale
+    # JPEG stream (libtiff's SEPARATE+JPEG shape); lossy, so PSNR-pinned.
+    # No JFIF color transform per-plane, so it need not match chunky-JPEG
+    # bytes — only the decoded raster quality.
+    from rio_color_spark.sources.jpeg import psnr
+
+    pj = T.apply_creation_options(p, {"compress": "jpeg"})
+    assert pj.planar == 2
+    outj = str(tmp_path / "planar_jpeg.tif")
+    T.write_tiff(outj, arr.copy(), pj)
+    arrj, profj = T.read_tiff(outj)
+    assert profj.planar == 2
+    assert profj.compression == T.COMPRESSION_JPEG
+    assert arrj.shape == arr.shape
+    assert psnr(arr, arrj) >= 40.0
 
 
 # -- Spark bridge ------------------------------------------------------------
