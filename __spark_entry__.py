@@ -616,6 +616,69 @@ def _golden_frames_values() -> str:
 REF_TIF = "/root/reference/tests/rgb8.tif"
 
 
+def _png_gate_rows():
+    """Deterministic (image_id, arr, fmt, w, h) rows for the png_decode
+    gate — a fixed arithmetic pixel recipe (no RNG, no files), covering
+    RGB/RGBA uint8 and RGB uint16 payloads at varied shapes."""
+    from rio_color_spark.sources import codec
+
+    rows = []
+    for i in range(12):
+        fmt = ("png", "pnga", "png16")[i % 3]
+        info = codec.format_info(fmt)
+        h, w = 16 + (i % 4) * 8, 12 + (i % 3) * 10
+        peak = int(np.iinfo(info.dtype).max) + 1
+        base = np.arange(info.bands * h * w, dtype=np.int64) * (2 * i + 3) + 7 * i
+        arr = (base % peak).astype(info.dtype).reshape(info.bands, h, w)
+        rows.append((f"png:{i:03d}", arr, fmt, w, h))
+    return rows
+
+
+def q_png_decode(spark, sf_dir):
+    """Real PNG payload columns: encode deterministic rasters to PNG on
+    the driver, then DISTRIBUTED decode→raw transcode through the codec
+    chokepoint (operators/media.py transcode_images → sources/png.py).
+    The oracle twin hashes the pre-encode arrays — zero shared code with
+    the PNG decode path."""
+    from rio_color_spark.operators.media import transcode_images
+    from rio_color_spark.sources import codec
+
+    data = [
+        (iid, bytearray(codec.encode(arr, fmt)), w, h, fmt)
+        for iid, arr, fmt, w, h in _png_gate_rows()
+    ]
+    df = spark.createDataFrame(
+        data, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    out = transcode_images(
+        df, {"png": "npy8", "pnga": "npy8a", "png16": "npy16"}
+    )
+    return out.select(
+        "image_id", "w", "h", "fmt",
+        F.length("bytes").alias("n_bytes"),
+        F.md5("bytes").alias("bytes_md5"),
+    )
+
+
+def _golden_png_values() -> str:
+    """Golden twin for png_decode: raw tobytes + md5 of the SOURCE arrays
+    (the PNG codec never runs here)."""
+    import hashlib
+
+    raw_fmt = {"png": "npy8", "pnga": "npy8a", "png16": "npy16"}
+    rows = []
+    for iid, arr, fmt, w, h in _png_gate_rows():
+        payload = np.ascontiguousarray(arr).tobytes()
+        rows.append(
+            f"('{iid}', {w}, {h}, '{raw_fmt[fmt]}', {len(payload)}, "
+            f"'{hashlib.md5(payload).hexdigest()}')"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS g(image_id, w, h, fmt, n_bytes, bytes_md5)"
+    )
+
+
 def q_tiff_ingest(spark, sf_dir):
     """Distributed GeoTIFF ingest (reference tests/rgb8.tif, the parity
     raster): driver parses only the header, executors decode disjoint
@@ -997,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "events_window": q_events_window,
         "tiff_ingest": q_tiff_ingest,
+        "png_decode": q_png_decode,
         "frames_y4m": q_frames_y4m,
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_prune": q_snapshot_prune,
@@ -1207,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "resize_images": _media_goldens[1],
         "sample_frames": _golden_frames_values(),
         "tiff_ingest": _golden_tiff_values(),
+        "png_decode": _golden_png_values(),
         "frames_y4m": _golden_y4m_values(),
         "optimize_color": (
             "SELECT '{ops}' AS ops, {score} AS score, "

@@ -37,9 +37,9 @@ from rio_color_spark.sources import codec
 def _stack_rows(bufs, h: int, w: int, fmt: str) -> np.ndarray:
     """B same-shaped payloads → one (C, B*h, w) array."""
     info = codec.format_info(fmt)
-    flat = np.frombuffer(b"".join(bufs), dtype=info.dtype)
-    # (B, C, h, w) → (C, B, h, w) → (C, B*h, w)
-    arr = flat.reshape(len(bufs), info.bands, h, w)
+    # (B, C, h, w) → (C, B, h, w) → (C, B*h, w); raw formats reinterpret
+    # one joined buffer zero-copy, codec formats (png/jpeg) decode per row
+    arr = codec.stack_decode(bufs, h, w, fmt)
     return np.ascontiguousarray(arr.transpose(1, 0, 2, 3)).reshape(
         info.bands, len(bufs) * h, w
     )

@@ -50,9 +50,7 @@ def _group_stack(pdf: pd.DataFrame):
     for key in sorted(set(zip(hs.tolist(), ws.tolist(), fmts.tolist()))):
         h, w, fmt = key
         sel = order[(hs == h) & (ws == w) & (fmts == fmt)]
-        info = codec.format_info(fmt)
-        flat = np.frombuffer(b"".join(bufs[i] for i in sel), dtype=info.dtype)
-        yield sel, flat.reshape(len(sel), info.bands, h, w), h, w, fmt
+        yield sel, codec.stack_decode([bufs[i] for i in sel], h, w, fmt), h, w, fmt
 
 
 def with_band_stats(df: DataFrame) -> DataFrame:
@@ -109,6 +107,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             new_bytes = np.empty(len(pdf), dtype=object)
+            new_fmt = pdf["fmt"].to_numpy().copy().astype(object)
             for sel, arr, h, w, fmt in _group_stack(pdf):
                 ri = np.minimum(
                     ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1
@@ -117,12 +116,73 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1
                 )
                 resized = np.ascontiguousarray(arr[:, :, ri[:, None], ci[None, :]])
-                for row, i in enumerate(sel.tolist()):
-                    new_bytes[i] = resized[row].tobytes()
+                info = codec.format_info(fmt)
+                # lossless codec formats re-encode in-kind (png stays png);
+                # lossy inputs (jpeg) re-emit the raw twin — re-encoding a
+                # decoded jpeg would stack a second generation of DCT loss
+                if info.codec == "raw":
+                    ofmt = fmt
+                    for row, i in enumerate(sel.tolist()):
+                        new_bytes[i] = resized[row].tobytes()
+                else:
+                    ofmt = (
+                        fmt
+                        if info.lossless
+                        else codec.fmt_for_dtype(info.dtype, info.bands)
+                    )
+                    for row, i in enumerate(sel.tolist()):
+                        new_bytes[i] = codec.encode(resized[row], ofmt)
+                for i in sel.tolist():
+                    new_fmt[i] = ofmt
             out = pdf.copy()
             out["bytes"] = new_bytes
+            out["fmt"] = new_fmt
             out["w"] = out_w
             out["h"] = out_h
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def transcode_images(df: DataFrame, fmt_map: dict[str, str]) -> DataFrame:
+    """Re-encode payloads from one registered format into another
+    (``fmt_map`` maps source fmt → target fmt; unmapped rows pass through
+    untouched). Decode→encode runs inside executor tasks over the same
+    (h, w, fmt) group stacking as every other batch operator — the driver
+    never sees pixel bytes.
+
+    The storage-format lever for a 100 TB image table: npy8→png trades
+    per-row codec CPU for scan/shuffle bytes at the PNG compression
+    ratio; png→npy8 materializes the raw twin for decode-free consumers.
+    Bands and dtype must match between the two formats (transcode changes
+    the container, never the pixels — lossless unless the TARGET is a
+    lossy format like jpeg)."""
+    for src, dst in fmt_map.items():
+        si, di = codec.format_info(src), codec.format_info(dst)
+        if (si.bands, si.dtype) != (di.bands, di.dtype):
+            raise ValueError(
+                f"transcode {src}->{dst}: incompatible shape "
+                f"({si.bands}x{si.dtype} vs {di.bands}x{di.dtype})"
+            )
+    schema = df.schema
+
+    remapped = {s for s, d in fmt_map.items() if s != d}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            new_bytes = pdf["bytes"].to_numpy().copy().astype(object)
+            new_fmt = pdf["fmt"].to_numpy().copy().astype(object)
+            hit = pdf["fmt"].isin(remapped).to_numpy()
+            # pass-through rows never decode; only remapped groups stack
+            for sel, arr, h, w, fmt in _group_stack(pdf[hit]):
+                ofmt = fmt_map[fmt]
+                idx = np.flatnonzero(hit)[sel]
+                for row, i in enumerate(idx.tolist()):
+                    new_bytes[i] = codec.encode(arr[row], ofmt)
+                    new_fmt[i] = ofmt
+            out = pdf.copy()
+            out["bytes"] = new_bytes
+            out["fmt"] = new_fmt
             yield out
 
     return df.mapInPandas(run, schema=schema)
