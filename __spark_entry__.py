@@ -794,6 +794,74 @@ def _golden_y4m_values() -> str:
     )
 
 
+def q_frames_mjpeg(spark, sf_dir):
+    """Frame sampling through the COMPRESSED video container path:
+    clips wrap into MJPEG AVI (every frame an independent baseline JPEG,
+    sources/avi.py) executor-side, then the registry decoder
+    (operators/media.CLIP_DECODERS['avi']) decodes and samples."""
+    from rio_color_spark.operators.media import sample_frames
+    from rio_color_spark.sources.images import CLIPS_SCHEMA, clips_df
+
+    def to_avi(batches):
+        from rio_color_spark.sources import avi
+
+        for pdf in batches:
+            out = pdf.copy()
+            bufs, fmts = [], []
+            for r in pdf.itertuples(index=False):
+                if r.fmt == "npyseq8":
+                    clip = np.frombuffer(r.bytes, np.uint8).reshape(
+                        -1, 3, r.h, r.w
+                    )
+                    bufs.append(avi.encode_avi(clip))
+                    fmts.append("avi")
+                else:
+                    bufs.append(r.bytes)
+                    fmts.append(r.fmt)
+            out["bytes"] = bufs
+            out["fmt"] = fmts
+            yield out
+
+    wrapped = clips_df(spark, 32).mapInPandas(to_avi, schema=CLIPS_SCHEMA)
+    out = sample_frames(wrapped, every_k=2)
+    return out.select(
+        "image_id", "frame", "w", "h", "fmt",
+        F.length("bytes").alias("n_bytes"),
+        F.md5("bytes").alias("bytes_md5"),
+    )
+
+
+def _golden_mjpeg_values() -> str:
+    """Golden twin for frames_mjpeg: driver-side encode → decode → stride
+    slice (no operators/media plumbing; the container structure and JPEG
+    math are pinned by tests/test_avi.py / test_tiff.py)."""
+    import hashlib
+
+    from rio_color_spark.sources import avi
+    from rio_color_spark.sources.images import generate_clips_pandas
+
+    rows = []
+    for r in generate_clips_pandas(np.arange(32)).itertuples(index=False):
+        if r.fmt == "npyseq8":
+            clip = np.frombuffer(r.bytes, np.uint8).reshape(-1, 3, r.h, r.w)
+            decoded = avi.decode_avi(avi.encode_avi(clip))
+            for f in range(0, decoded.shape[0], 2):
+                p = np.ascontiguousarray(decoded[f]).tobytes()
+                rows.append(
+                    f"('{r.image_id}', {f}, {r.w}, {r.h}, 'npy8', {len(p)}, "
+                    f"'{hashlib.md5(p).hexdigest()}')"
+                )
+        else:
+            rows.append(
+                f"('{r.image_id}', 0, {r.w}, {r.h}, '{r.fmt}', "
+                f"{len(r.bytes)}, '{hashlib.md5(r.bytes).hexdigest()}')"
+            )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS g(image_id, frame, w, h, fmt, n_bytes, bytes_md5)"
+    )
+
+
 def q_snapshot_time_travel(spark, sf_dir):
     """Iceberg-facade snapshot semantics (sources/snapshots.py) through
     the hash gate: three appends — the third AFTER an add_column schema
@@ -1062,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_ingest": q_tiff_ingest,
         "png_decode": q_png_decode,
         "frames_y4m": q_frames_y4m,
+        "frames_mjpeg": q_frames_mjpeg,
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_prune": q_snapshot_prune,
     }
@@ -1273,6 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         "tiff_ingest": _golden_tiff_values(),
         "png_decode": _golden_png_values(),
         "frames_y4m": _golden_y4m_values(),
+        "frames_mjpeg": _golden_mjpeg_values(),
         "optimize_color": (
             "SELECT '{ops}' AS ops, {score} AS score, "
             "{initial_score} AS initial_score".format(**OPTIMIZE_GOLDEN)

@@ -60,7 +60,12 @@ SCALING_LEVELS = (2, 8, 32)
 #: the BASELINE.md north-rule gate pair (N vs 4N): measured FIRST, with
 #: retry priority; local[32] is an informational extension on leftover budget
 NORTH_PAIR = (2, 8)
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
+#: 3 base rounds, not 5 (r6 mid-round lesson): a congested window wastes
+#: rounds 4-5 measuring the same weather (per-round efficiencies
+#: [0.69, 0.70, 0.44, 0.45, 0.66] in the 1358.9 s run that then couldn't
+#: afford ANY gate retry) — budget moved from base rounds to
+#: cooldown-separated gate-retry windows, which sample NEW weather.
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 
 #: HARD wall-clock budget for the whole bench (seconds). Round 4's
 #: artifact-of-record run timed out (BENCH_r04.json rc=124, parsed null):
@@ -71,15 +76,18 @@ SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "5"))
 #:   1. anomaly-retry windows        (pure re-measurement insurance)
 #:   2. gate-retry windows           (extra (2,8) samples for the 0.8 gate)
 #:   3. per-op runs beyond the first (min-of-3 → min-of-2 → single-shot)
-#:   4. scaling rounds beyond 2      (min-of-5 → min-of-2 per level)
+#:   4. scaling rounds beyond 2      (min-of-3 → min-of-2 per level)
 #: Every shed decision is recorded in the output's "budget.shed" list.
 BENCH_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
 
 #: reserve kept for the scaling block while the per-op section runs —
-#: roughly 2 interleaved rounds at (2, 8, 32) incl. JVM + envelope
-#: overhead, plus the final-margin. Measured clean-window round cost is
-#: ~135 s; congested can triple it.
-SCALING_RESERVE_S = int(os.environ.get("SPARK_GRAFT_SCALING_RESERVE", "700"))
+#: sized for the 3-round (2, 8) base window (~400 s at the measured
+#: ~135 s/round) PLUS one degraded gate-retry window (60 s cooldown +
+#: 2 rounds ≈ 330 s) plus the final margin: the 0.8-gate retry must
+#: never be the thing the budget sheds (r6 mid-round run: gate 0.641
+#: with "gate retries shed at 0/3"). Per-op min-of-3 repeats are the
+#: cheaper sacrifice and shed first.
+SCALING_RESERVE_S = int(os.environ.get("SPARK_GRAFT_SCALING_RESERVE", "950"))
 
 #: seconds held back at the very end for summarize + evidence write + the
 #: stdout line itself.

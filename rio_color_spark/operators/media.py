@@ -207,13 +207,20 @@ def _decode_y4m(buf: bytes) -> np.ndarray:
     return y4m.decode(bytes(buf))
 
 
+def _decode_avi(buf: bytes) -> np.ndarray:
+    from rio_color_spark.sources import avi
+
+    return avi.decode_avi(bytes(buf))
+
+
 #: pluggable clip decoders: fmt → (payload bytes → (F, 3, h, w) uint8).
-#: ``y4m`` (YUV4MPEG2, the open toolchain's raw interchange container) is
-#: the built-in REAL codec path — self-contained planar YUV, decoded with
-#: numpy alone (sources/y4m.py). Registering e.g. ``mp4`` here (with an
+#: ``y4m`` (YUV4MPEG2, the open toolchain's raw interchange container) and
+#: ``avi`` (Motion-JPEG in RIFF — every frame an independent baseline
+#: JPEG, sources/avi.py) are the built-in REAL codec paths, both
+#: self-contained NumPy. Registering e.g. ``mp4`` here (with an
 #: ffmpeg-backed callable) flips it from the fail-fast seam to a working
 #: path with no operator changes.
-CLIP_DECODERS: dict[str, object] = {"y4m": _decode_y4m}
+CLIP_DECODERS: dict[str, object] = {"y4m": _decode_y4m, "avi": _decode_avi}
 
 
 def sample_frames(df: DataFrame, every_k: int = 1) -> DataFrame:
