@@ -112,9 +112,10 @@ def saturate_rgb_sql(r: str, g: str, b: str, satmult: float, digits: int = 6) ->
         f"_lab AS (SELECT *, 116.0 * {_f_lab_sql('cy')} - 16.0 AS cl,\n"
         f"  500.0 * ({_f_lab_sql('cx')} - {_f_lab_sql('cy')}) AS ca,\n"
         f"  200.0 * ({_f_lab_sql('cy')} - {_f_lab_sql('cz')}) AS cb FROM _xyz),\n"
-        f"_lch AS (SELECT *, cl AS ll, sqrt(ca*ca + cb*cb) * {satmult!r} AS lc,\n"
-        f"  atan2(cb, ca) AS lh FROM _lab),\n"
-        f"_lab2 AS (SELECT *, ll AS l2, lc * cos(lh) AS a2, lc * sin(lh) AS b2 FROM _lch),\n"
+        # LAB shortcut, twin of colorspace.saturate_rgb: scaling chroma C
+        # with hue fixed is exactly (a, b) * satmult — the LCH legs cancel
+        f"_lab2 AS (SELECT *, cl AS l2, ca * {satmult!r} AS a2, "
+        f"cb * {satmult!r} AS b2 FROM _lab),\n"
         f"_xyz2 AS (SELECT *,\n"
         f"  {_finv_lab_sql('((l2 + 16.0) / 116.0 + a2 / 500.0)')} * {_XN!r} AS x2,\n"
         f"  {_finv_lab_sql('((l2 + 16.0) / 116.0)')} AS y2,\n"
