@@ -862,6 +862,26 @@ def _golden_mjpeg_values() -> str:
     )
 
 
+def q_snapshot_rowops(spark, sf_dir):
+    """Row-level DELETE + UPDATE on a snapshot table (copy-on-write,
+    Iceberg semantics, sources/snapshots.py): delete a residue class,
+    then update a language cohort — the final read must equal plain SQL
+    DELETE/UPDATE over the same source rows."""
+    import tempfile
+
+    from rio_color_spark.sources.snapshots import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="rcs_gate_rowops_") + "/t"
+    t = SnapshotTable.create(base, "doc_id bigint, lang string, n_chars bigint")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # two appends so the delete rewrites some files and keeps others
+    t.append(docs.filter("doc_id % 2 = 0"))
+    t.append(docs.filter("doc_id % 2 = 1"))
+    t.delete_where(spark, "n_chars % 10 = 3")
+    t.update_where(spark, "lang = 'de'", {"n_chars": "n_chars + 1000"})
+    return t.read(spark)
+
+
 def q_snapshot_time_travel(spark, sf_dir):
     """Iceberg-facade snapshot semantics (sources/snapshots.py) through
     the hash gate: three appends — the third AFTER an add_column schema
@@ -1131,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": q_png_decode,
         "frames_y4m": q_frames_y4m,
         "frames_mjpeg": q_frames_mjpeg,
+        "snapshot_rowops": q_snapshot_rowops,
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_prune": q_snapshot_prune,
     }
@@ -1343,6 +1364,11 @@ def oracle_sql() -> dict[str, str]:
         "png_decode": _golden_png_values(),
         "frames_y4m": _golden_y4m_values(),
         "frames_mjpeg": _golden_mjpeg_values(),
+        "snapshot_rowops": (
+            "SELECT doc_id, lang, "
+            "CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END "
+            "AS n_chars FROM documents WHERE NOT (n_chars % 10 = 3)"
+        ),
         "optimize_color": (
             "SELECT '{ops}' AS ops, {score} AS score, "
             "{initial_score} AS initial_score".format(**OPTIMIZE_GOLDEN)

@@ -996,6 +996,22 @@ class SnapshotTable:
         )
         if not kept:
             return spark.createDataFrame([], ddl)
+        df = self._scan_rows(spark, kept, read_schema, meta)
+        for name, (p_lo, p_hi) in (predicates or {}).items():
+            if p_lo is not None:
+                df = df.filter(F.col(name) >= F.lit(p_lo))
+            if p_hi is not None:
+                df = df.filter(F.col(name) <= F.lit(p_hi))
+        return df
+
+    def _scan_rows(
+        self, spark: SparkSession, kept: list[dict], read_schema: dict,
+        meta: dict, file_col: str | None = None,
+    ) -> DataFrame:
+        """Per-schema-group explicit-schema parquet scan projected BY
+        FIELD ID onto ``read_schema``, groups unioned. ``file_col`` adds
+        an ``input_file_name()`` column (row → data-file attribution, the
+        row-level ops' rewrite planner)."""
         groups: dict[int, list[str]] = {}
         for r in kept:
             groups.setdefault(r["schema_id"], []).append(r["file_path"])
@@ -1012,21 +1028,145 @@ class SnapshotTable:
                 if phys is None:
                     cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
                 else:
-                    cols.append(
-                        F.col(phys).cast(f["type"]).alias(f["name"])
-                    )
+                    cols.append(F.col(phys).cast(f["type"]).alias(f["name"]))
+            if file_col is not None:
+                cols.append(F.input_file_name().alias(file_col))
             parts.append(
                 spark.read.schema(phys_ddl).parquet(*paths).select(*cols)
             )
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        for name, (p_lo, p_hi) in (predicates or {}).items():
-            if p_lo is not None:
-                df = df.filter(F.col(name) >= F.lit(p_lo))
-            if p_hi is not None:
-                df = df.filter(F.col(name) <= F.lit(p_hi))
         return df
+
+    # -- row-level operations (Iceberg DELETE FROM / UPDATE, copy-on-write) --
+
+    @staticmethod
+    def _uri_path(uri: str) -> str:
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(uri).path) if "://" in uri or uri.startswith(
+            "file:"
+        ) else uri
+
+    def _rewrite_where(
+        self, spark: SparkSession, operation: str, predicate: str,
+        transform, write_options: dict | None,
+    ) -> dict:
+        """Shared copy-on-write machinery for row-level ops.
+
+        1. Scan the current snapshot with per-row file attribution and
+           find the data files holding ≥1 matching row (everything runs
+           distributed; the driver collects only O(touched files) rows).
+        2. Rewrite ONLY those files through ``transform(df, matched)``
+           (delete drops matched rows, update rewrites them), conformed
+           to the current schema and partition spec.
+        3. Commit manifest = parent rows − touched + rewritten, via the
+           CAS retry with the compaction-style conflict check: if a
+           concurrent commit removed a touched file, raise
+           :class:`CommitConflict` instead of resurrecting deleted rows.
+
+        Snapshot isolation: rows appended by commits AFTER the scan's
+        snapshot are not affected (Iceberg's default for row-level ops).
+        Predicate NULL-semantics follow SQL: NULL never matches."""
+        meta = self.metadata()
+        snap = self.current_snapshot(meta)
+        if snap is None:
+            return meta
+        read_schema = self.schema(meta=meta)
+        spec = self.partition_spec(meta=meta)
+        kept = self._manifest_rows(snap)
+        if not kept:
+            return meta
+        matched = F.coalesce(F.expr(f"({predicate})"), F.lit(False))
+        scan = self._scan_rows(spark, kept, read_schema, meta, file_col="_sf_file")
+        hits = (
+            scan.filter(matched)
+            .groupBy("_sf_file")
+            .count()
+            .collect()
+        )
+        if not hits:
+            return meta  # no-op: no snapshot for a delete/update of nothing
+        n_matched = sum(r["count"] for r in hits)
+        by_path = {self._uri_path(r["_sf_file"]): r["count"] for r in hits}
+        touched = {
+            r["file_path"] for r in kept if r["file_path"] in by_path
+        }
+        if len(touched) != len(by_path):
+            unknown = set(by_path) - touched
+            raise RuntimeError(
+                f"row scan attributed rows to file(s) outside the "
+                f"manifest: {sorted(unknown)[:3]}"
+            )
+        touched_rows = [r for r in kept if r["file_path"] in touched]
+        rewrite_src = self._scan_rows(
+            spark, touched_rows, read_schema, meta, file_col="_sf_file"
+        )
+        out_cols = [f["name"] for f in read_schema["fields"]]
+        rewritten = transform(rewrite_src, matched).select(*out_cols)
+        files, parts = self._write_data(rewritten, write_options, spec, read_schema)
+        new_rows = self._collect_stats(files, read_schema, spec["spec_id"], parts)
+        # a fully-deleted file (or an empty Spark output part) contributes
+        # no manifest entry — the snapshot simply drops it
+        new_rows = [r for r in new_rows if r["n_rows"] > 0]
+        return self._snapshot_commit(
+            operation, new_rows,
+            {
+                "matched_rows": n_matched,
+                "rewritten_files": len(touched),
+                "added_files": len(new_rows),
+            },
+            replace_files=touched,
+        )
+
+    def delete_where(
+        self, spark: SparkSession, predicate: str,
+        write_options: dict | None = None,
+    ) -> dict:
+        """Row-level DELETE (copy-on-write): rewrite exactly the data
+        files holding matching rows, without those rows; untouched files
+        keep their manifest entries (and their stats) unchanged. A file
+        whose every row matches is simply dropped. Matching nothing is a
+        no-op (no empty snapshot). NULL predicates keep the row (SQL
+        DELETE semantics)."""
+        return self._rewrite_where(
+            spark, "delete", predicate,
+            lambda df, matched: df.filter(~matched),
+            write_options,
+        )
+
+    def update_where(
+        self, spark: SparkSession, predicate: str,
+        assignments: dict[str, str],
+        write_options: dict | None = None,
+    ) -> dict:
+        """Row-level UPDATE (copy-on-write): rewrite the files holding
+        matching rows with ``assignments`` (column → SQL expression over
+        the pre-update row) applied to matching rows only; non-matching
+        rows in the same file are rewritten byte-identical in value."""
+        fields = {f["name"]: f["type"] for f in self.schema()["fields"]}
+        for col in assignments:
+            if col not in fields:
+                raise KeyError(f"update_where: no column {col!r}")
+
+        def transform(df: DataFrame, matched):
+            # one select, every assignment expression evaluated against the
+            # PRE-update row (SQL UPDATE semantics — sequential withColumn
+            # would leak earlier assignments into later expressions)
+            new_val = {
+                col: F.when(matched, F.expr(expr).cast(fields[col])).otherwise(
+                    F.col(col)
+                )
+                for col, expr in assignments.items()
+            }
+            return df.select(
+                *[new_val.get(c, F.col(c)).alias(c) for c in df.columns]
+            )
+
+        return self._rewrite_where(
+            spark, "update", predicate, transform, write_options
+        )
 
     # -- metadata tables (Iceberg's table.history / table.files analogues) ---
 

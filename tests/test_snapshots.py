@@ -716,3 +716,139 @@ def test_distributed_planning_parity(spark, tmp_path):
     # auto mode: small manifests stay on the driver (no Spark job)
     _, rep = t.plan_files(spark=spark)
     assert "planned_distributed" not in rep
+
+
+# -- round-6 row-level operations (DELETE FROM / UPDATE, copy-on-write) ----
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "dw"), "doc_id bigint, lang string, n_chars bigint"
+    )
+    # three single-file appends with disjoint doc_id ranges
+    for lo in (0, 100, 200):
+        t.append(_docs(spark, lo, lo + 100).coalesce(1))
+    before = {r["file_path"] for r in t.plan_files()[0]}
+    assert len(before) == 3
+
+    t.delete_where(spark, "doc_id >= 100 AND doc_id < 110")
+    after = {r["file_path"] for r in t.plan_files()[0]}
+    # the 0-99 and 200-299 files survive UNTOUCHED (same manifest entries);
+    # only the middle file was rewritten
+    assert len(before & after) == 2
+    assert len(after - before) == 1
+    ids = sorted(r["doc_id"] for r in t.read(spark).collect())
+    assert ids == list(range(0, 100)) + list(range(110, 300))
+    snap = t.metadata()["snapshots"][-1]
+    assert snap["operation"] == "delete"
+    assert snap["summary"]["matched_rows"] == 10
+    assert snap["summary"]["rewritten_files"] == 1
+    # time travel still sees the pre-delete rows
+    pre = t.metadata()["snapshots"][-2]["snapshot_id"]
+    assert t.read(spark, snapshot_id=pre).count() == 300
+
+
+def test_delete_where_noop_and_full_file_drop(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "dn"), "doc_id bigint, lang string, n_chars bigint"
+    )
+    for lo in (0, 100):
+        t.append(_docs(spark, lo, lo + 100).coalesce(1))
+    n_snaps = len(t.metadata()["snapshots"])
+    # matching nothing is a no-op: no new snapshot
+    t.delete_where(spark, "doc_id > 100000")
+    assert len(t.metadata()["snapshots"]) == n_snaps
+    # deleting EVERY row of one file drops it without a replacement
+    t.delete_where(spark, "doc_id >= 100")
+    kept = t.plan_files()[0]
+    assert len(kept) == 1
+    assert t.read(spark).count() == 100
+    assert t.metadata()["snapshots"][-1]["summary"]["added_files"] == 0
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "dnul"), "doc_id bigint, lang string")
+    t.append(
+        spark.sql(
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, 'xx' AS lang "
+            "UNION ALL SELECT 5L, 'en' UNION ALL SELECT 6L, 'de'"
+        )
+    )
+    t.delete_where(spark, "doc_id = 5")  # NULL = 5 is NULL -> keep
+    rows = t.read(spark).collect()
+    assert sorted(r["lang"] for r in rows) == ["de", "xx"]
+
+
+def test_update_where_pre_row_semantics(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "up"), "a bigint, b bigint")
+    t.append(spark.sql("SELECT 1L AS a, 10L AS b UNION ALL SELECT 2L, 20L"))
+    # classic swap: both expressions must see the PRE-update row
+    t.update_where(spark, "a = 1", {"a": "b", "b": "a"})
+    rows = {r["a"]: r["b"] for r in t.read(spark).collect()}
+    assert rows == {10: 1, 2: 20}
+    snap = t.metadata()["snapshots"][-1]
+    assert snap["operation"] == "update"
+    assert snap["summary"]["matched_rows"] == 1
+    with pytest.raises(KeyError, match="no column"):
+        t.update_where(spark, "a = 2", {"nope": "1"})
+
+
+def test_row_ops_respect_hidden_partitioning(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "dp"), "doc_id bigint, lang string, n_chars bigint",
+        partition_spec=[("bucket", "doc_id", 4)],
+    )
+    t.append(_docs(spark, 0, 200))
+    t.delete_where(spark, "n_chars < 10")
+    t.update_where(spark, "lang = 'de'", {"n_chars": "n_chars + 1000"})
+    df = t.read(spark)
+    assert df.filter("n_chars < 10").count() == 0
+    assert df.filter("lang = 'de' AND n_chars < 1000").count() == 0
+    # rewritten files still carry partition tuples and still prune
+    kept, report = t.plan_files(predicates={"doc_id": (13, 13)})
+    assert report["files_scanned"] < report["files_total"]
+    assert t.read(spark, predicates={"doc_id": (13, 13)}).count() == 1
+
+
+def test_delete_after_schema_evolution(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "de"), "doc_id bigint, lang string")
+    t.append(_docs(spark, 0, 50).select("doc_id", "lang").coalesce(1))
+    t.add_column("flag", "bigint")
+    t.append(
+        _docs(spark, 50, 100)
+        .select("doc_id", "lang")
+        .withColumn("flag", F.expr("doc_id % 2"))
+        .coalesce(1)
+    )
+    # predicate on the evolved column: old rows project flag=NULL -> kept
+    t.delete_where(spark, "flag = 1")
+    df = t.read(spark)
+    assert df.count() == 50 + 25
+    assert df.filter("flag = 1").count() == 0
+    assert df.filter("doc_id < 50").count() == 50  # old file untouched
+    # old file's manifest entry survived verbatim (no rewrite of clean files)
+    assert t.metadata()["snapshots"][-1]["summary"]["rewritten_files"] == 1
+
+
+def test_delete_race_with_compaction_conflicts(spark, tmp_path):
+    """A compaction that removes a touched file between the delete's scan
+    and its commit must raise CommitConflict, never resurrect rows."""
+    base = str(tmp_path / "dr")
+    a = SnapshotTable.create(base, "doc_id bigint, lang string, n_chars bigint")
+    for lo in (0, 100):
+        a.append(_docs(spark, lo, lo + 100).coalesce(1))
+    b = SnapshotTable(base)
+    real = a._cas_write
+    state = {"fired": False}
+
+    def racy(meta):
+        if not state["fired"]:
+            state["fired"] = True
+            b.compact(spark)  # rewrites (removes) every current file
+        real(meta)
+
+    a._cas_write = racy
+    with pytest.raises(CommitConflict):
+        a.delete_where(spark, "doc_id < 10")
+    # the conflict aborted cleanly: table state is the compaction's
+    assert b.read(spark).count() == 200
