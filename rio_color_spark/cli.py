@@ -146,12 +146,12 @@ def _build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser(
         "table",
         help="Snapshot-table management (sources/snapshots.py): create/"
-        "append/history/files/compact/expire/evolve",
+        "append/history/files/compact/expire/evolve/delete/update",
     )
     t.add_argument(
         "action",
         choices=["create", "append", "history", "files", "compact",
-                 "expire", "evolve"],
+                 "expire", "evolve", "delete", "update"],
     )
     t.add_argument("base", help="table root directory")
     t.add_argument("src", nargs="?", help="append: source parquet path")
@@ -176,6 +176,13 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--sort", action="append", default=[], metavar="COL",
                    help="compact: cluster the rewrite by COL (repeatable; "
                    "range-sorted files → min/max stats prune reads)")
+    t.add_argument("--where", metavar="SQL",
+                   help="delete/update: row predicate (SQL boolean expr; "
+                   "copy-on-write — only matching files rewrite)")
+    t.add_argument("--set", action="append", default=[], dest="set_",
+                   metavar="COL=EXPR",
+                   help="update: assignment (repeatable), evaluated "
+                   "against the pre-update row")
     common["jobs"](t)
     common["co"](t)
     return p
@@ -333,6 +340,34 @@ def _table_cmd(args, parser) -> int:
             )
             print(_json.dumps({"version": snap["version"],
                                "snapshot_id": snap["current_snapshot_id"]}))
+        elif args.action in ("delete", "update"):
+            if not args.where:
+                parser.error(f"table {args.action} needs --where 'SQL predicate'")
+            before = t.metadata()["current_snapshot_id"]
+            if args.action == "delete":
+                snap = t.delete_where(
+                    spark, args.where, write_options=_co_pairs(args.co, parser)
+                )
+            else:
+                if not args.set_:
+                    parser.error("table update needs --set COL=EXPR")
+                assignments = {}
+                for s in args.set_:
+                    col, sep, expr = s.partition("=")
+                    if not sep or not col.strip() or not expr.strip():
+                        parser.error(f"--set expects COL=EXPR, got {s!r}")
+                    assignments[col.strip()] = expr.strip()
+                snap = t.update_where(
+                    spark, args.where, assignments,
+                    write_options=_co_pairs(args.co, parser),
+                )
+            out = {"version": snap["version"],
+                   "snapshot_id": snap["current_snapshot_id"]}
+            if snap["current_snapshot_id"] == before:
+                out["noop"] = True  # nothing matched: no new snapshot
+            else:
+                out.update(snap["snapshots"][-1].get("summary", {}))
+            print(_json.dumps(out))
         else:  # compact
             snap = t.compact(spark, write_options=_co_pairs(args.co, parser),
                              sort_by=args.sort or None)

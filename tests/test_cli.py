@@ -208,3 +208,51 @@ def test_table_subcommand_errors(tmp_path):
     with pytest.raises(SystemExit) as e:
         main(["table", "evolve", base])  # no op
     assert e.value.code == 2
+
+
+def test_table_delete_update_cli(spark, tmp_path, capsys):
+    """table delete/update: copy-on-write row ops through the CLI, with
+    the matched/rewritten summary echoed and no-op deletes flagged."""
+    import json
+
+    base = str(tmp_path / "rowops_tbl")
+    src = str(tmp_path / "rowops_src")
+    spark.range(0, 100).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+        "id * 3 AS n_chars",
+    ).write.parquet(src)
+    assert main(["table", "create", base,
+                 "--schema", "doc_id bigint, lang string, n_chars bigint"]) == 0
+    assert main(["table", "append", base, src, "-j", "2"]) == 0
+    capsys.readouterr()
+
+    assert main(["table", "delete", base, "--where", "doc_id < 10",
+                 "-j", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["matched_rows"] == 10
+
+    assert main(["table", "update", base, "--where", "lang = 'de'",
+                 "--set", "n_chars=n_chars + 1000", "-j", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["matched_rows"] == 45  # odd ids >= 10
+
+    assert main(["table", "delete", base, "--where", "doc_id > 10000",
+                 "-j", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out.get("noop") is True
+
+    from rio_color_spark.sources.snapshots import SnapshotTable
+    df = SnapshotTable(base).read(spark)
+    assert df.count() == 90
+    assert df.filter("lang = 'de' AND n_chars < 1000").count() == 0
+
+    with pytest.raises(SystemExit) as e:
+        main(["table", "delete", base])  # no --where
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        main(["table", "update", base, "--where", "1=1"])  # no --set
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        main(["table", "update", base, "--where", "1=1", "--set", "oops"])
+    assert e.value.code == 2
