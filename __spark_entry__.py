@@ -882,6 +882,30 @@ def q_snapshot_rowops(spark, sf_dir):
     return t.read(spark)
 
 
+def q_snapshot_merge(spark, sf_dir):
+    """MERGE INTO (copy-on-write upsert, sources/snapshots.py): update a
+    residue-class cohort from a source frame and insert brand-new keys,
+    in ONE snapshot — the final read must equal plain SQL upsert
+    semantics over the same rows."""
+    import tempfile
+
+    from rio_color_spark.sources.snapshots import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="rcs_gate_merge_") + "/t"
+    t = SnapshotTable.create(base, "doc_id bigint, lang string, n_chars bigint")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t.append(docs)
+    src = docs.filter("doc_id % 3 = 0").selectExpr(
+        "doc_id", "'xx' AS lang", "n_chars + 5000 AS n_chars"
+    ).union(
+        docs.filter("doc_id % 5 = 0").selectExpr(
+            "doc_id + 10000000 AS doc_id", "lang", "n_chars + 7 AS n_chars"
+        )
+    )
+    t.merge_into(spark, src, on="doc_id")
+    return t.read(spark)
+
+
 def q_snapshot_time_travel(spark, sf_dir):
     """Iceberg-facade snapshot semantics (sources/snapshots.py) through
     the hash gate: three appends — the third AFTER an add_column schema
@@ -1152,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frames_y4m": q_frames_y4m,
         "frames_mjpeg": q_frames_mjpeg,
         "snapshot_rowops": q_snapshot_rowops,
+        "snapshot_merge": q_snapshot_merge,
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_prune": q_snapshot_prune,
     }
@@ -1368,6 +1393,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, "
             "CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END "
             "AS n_chars FROM documents WHERE NOT (n_chars % 10 = 3)"
+        ),
+        "snapshot_merge": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang, "
+            "CASE WHEN doc_id % 3 = 0 THEN n_chars + 5000 ELSE n_chars END "
+            "AS n_chars FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 10000000 AS doc_id, lang, n_chars + 7 AS n_chars "
+            "FROM documents WHERE doc_id % 5 = 0"
         ),
         "optimize_color": (
             "SELECT '{ops}' AS ops, {score} AS score, "

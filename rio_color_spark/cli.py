@@ -151,7 +151,7 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "action",
         choices=["create", "append", "history", "files", "compact",
-                 "expire", "evolve", "delete", "update"],
+                 "expire", "evolve", "delete", "update", "merge"],
     )
     t.add_argument("base", help="table root directory")
     t.add_argument("src", nargs="?", help="append: source parquet path")
@@ -182,7 +182,17 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--set", action="append", default=[], dest="set_",
                    metavar="COL=EXPR",
                    help="update: assignment (repeatable), evaluated "
-                   "against the pre-update row")
+                   "against the pre-update row; merge: matched-row "
+                   "assignment over src_* columns (default update_all)")
+    t.add_argument("--on", action="append", default=[], metavar="COL",
+                   help="merge: key column (repeatable)")
+    t.add_argument("--matched", default=None,
+                   choices=["update_all", "delete"],
+                   help="merge: matched-row action when no --set given "
+                   "(default update_all)")
+    t.add_argument("--not-matched", default="insert",
+                   choices=["insert", "ignore"],
+                   help="merge: unmatched-source action (default insert)")
     common["jobs"](t)
     common["co"](t)
     return p
@@ -340,6 +350,37 @@ def _table_cmd(args, parser) -> int:
             )
             print(_json.dumps({"version": snap["version"],
                                "snapshot_id": snap["current_snapshot_id"]}))
+        elif args.action == "merge":
+            if not args.src:
+                parser.error("table merge needs a source parquet path")
+            if not args.on:
+                parser.error("table merge needs --on KEY")
+            when_matched = args.matched or "update_all"
+            if args.set_:
+                assignments = {}
+                for s in args.set_:
+                    col, sep, expr = s.partition("=")
+                    if not sep or not col.strip() or not expr.strip():
+                        parser.error(f"--set expects COL=EXPR, got {s!r}")
+                    assignments[col.strip()] = expr.strip()
+                when_matched = assignments
+            before = t.metadata()["current_snapshot_id"]
+            try:
+                snap = t.merge_into(
+                    spark, spark.read.parquet(args.src), on=args.on,
+                    when_matched=when_matched,
+                    when_not_matched=args.not_matched,
+                    write_options=_co_pairs(args.co, parser),
+                )
+            except (KeyError, ValueError) as e:
+                parser.error(str(e))
+            out = {"version": snap["version"],
+                   "snapshot_id": snap["current_snapshot_id"]}
+            if snap["current_snapshot_id"] == before:
+                out["noop"] = True
+            else:
+                out.update(snap["snapshots"][-1].get("summary", {}))
+            print(_json.dumps(out))
         elif args.action in ("delete", "update"):
             if not args.where:
                 parser.error(f"table {args.action} needs --where 'SQL predicate'")

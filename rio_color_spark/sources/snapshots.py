@@ -1168,6 +1168,159 @@ class SnapshotTable:
             spark, "update", predicate, transform, write_options
         )
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: list[str] | str,
+        when_matched: str | dict[str, str] = "update_all",
+        when_not_matched: str = "insert",
+        write_options: dict | None = None,
+    ) -> dict:
+        """MERGE INTO (Iceberg copy-on-write upsert), ONE atomic snapshot:
+
+        - target rows whose ``on`` key appears in ``source`` apply
+          ``when_matched``: ``"update_all"`` (non-key columns replaced by
+          the source row's), ``"delete"``, or a dict of target column →
+          SQL expression over the joined row (source columns are exposed
+          as ``src_<name>``);
+        - source rows matching no target key apply ``when_not_matched``:
+          ``"insert"`` (conformed to the current schema) or ``"ignore"``;
+        - ONLY the data files holding matched keys rewrite; every other
+          manifest entry survives verbatim. Commit-time conflict checking
+          is the same as delete/update (:class:`CommitConflict`).
+
+        ``source`` must be key-unique on ``on`` (checked distributed;
+        duplicate keys make the merge ambiguous — Iceberg raises too).
+
+        Scale shape: one key-equi-join against the source per phase
+        (detection semi-join, rewrite left-join, insert anti-join), all
+        shuffles on the merge key; the rewrite scan touches only matched
+        files.
+        """
+        keys = [on] if isinstance(on, str) else list(on)
+        schema = self.schema()
+        fields = {f["name"]: f["type"] for f in schema["fields"]}
+        for k in keys:
+            if k not in fields:
+                raise KeyError(f"merge_into: no key column {k!r}")
+            if k not in source.columns:
+                raise KeyError(f"merge_into: source lacks key column {k!r}")
+        if isinstance(when_matched, dict):
+            for col in when_matched:
+                if col not in fields:
+                    raise KeyError(f"merge_into: no column {col!r}")
+                if col in keys:
+                    raise ValueError(f"merge_into: cannot assign key {col!r}")
+        elif when_matched not in ("update_all", "delete"):
+            raise ValueError(f"bad when_matched {when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"bad when_not_matched {when_not_matched!r}")
+
+        dup = (
+            source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+        ).collect()
+        if dup:
+            raise ValueError(
+                f"merge_into: source is not key-unique on {keys} "
+                f"(e.g. {[dup[0][k] for k in keys]})"
+            )
+
+        meta = self.metadata()
+        snap = self.current_snapshot(meta)
+        spec = self.partition_spec(meta=meta)
+        kept = self._manifest_rows(snap) if snap else []
+        non_keys = [n for n in fields if n not in keys]
+        src_cols = [F.col(k) for k in keys] + [
+            F.col(n).alias(f"src_{n}") for n in source.columns if n not in keys
+        ]
+        src = source.select(*src_cols)
+
+        touched: set[str] = set()
+        n_matched = 0
+        if kept:
+            scan = self._scan_rows(
+                spark, kept, schema, meta, file_col="_sf_file"
+            )
+            hits = (
+                scan.join(src.select(*keys), on=keys, how="leftsemi")
+                .groupBy("_sf_file")
+                .count()
+                .collect()
+            )
+            n_matched = sum(r["count"] for r in hits)
+            by_path = {self._uri_path(r["_sf_file"]) for r in hits}
+            touched = {r["file_path"] for r in kept if r["file_path"] in by_path}
+
+        new_rows: list[dict] = []
+        n_files_rewritten = 0
+        if touched:
+            touched_rows = [r for r in kept if r["file_path"] in touched]
+            t = self._scan_rows(
+                spark, touched_rows, schema, meta, file_col="_sf_file"
+            )
+            # matched marker that survives NULL source values: an explicit
+            # flag column (checking any src_ column for NULL would
+            # misclassify legitimately-NULL source values)
+            joined = t.join(
+                src.withColumn("_src_hit", F.lit(True)), on=keys, how="left"
+            )
+            hit = F.coalesce(F.col("_src_hit"), F.lit(False))
+            if when_matched == "delete":
+                rewritten = joined.filter(~hit)
+            else:
+                if when_matched == "update_all":
+                    assignments = {
+                        n: f"src_{n}" for n in non_keys if f"src_{n}" in joined.columns
+                    }
+                else:
+                    assignments = when_matched
+                new_val = {
+                    col: F.when(hit, F.expr(expr).cast(fields[col])).otherwise(
+                        F.col(col)
+                    )
+                    for col, expr in assignments.items()
+                }
+                rewritten = joined.select(
+                    *[
+                        new_val.get(c, F.col(c)).alias(c)
+                        for c in joined.columns
+                    ]
+                )
+            rewritten = rewritten.select(*fields)
+            files, parts = self._write_data(
+                rewritten, write_options, spec, schema
+            )
+            rows = self._collect_stats(files, schema, spec["spec_id"], parts)
+            new_rows += [r for r in rows if r["n_rows"] > 0]
+            n_files_rewritten = len(touched)
+
+        n_inserted = 0
+        if when_not_matched == "insert":
+            ins = source
+            if kept:
+                cur_keys = self._scan_rows(spark, kept, schema, meta).select(*keys)
+                ins = source.join(cur_keys, on=keys, how="leftanti")
+            ins = self._conform(ins, schema)
+            files, parts = self._write_data(ins, write_options, spec, schema)
+            rows = self._collect_stats(files, schema, spec["spec_id"], parts)
+            rows = [r for r in rows if r["n_rows"] > 0]
+            n_inserted = sum(r["n_rows"] for r in rows)
+            new_rows += rows
+
+        if not touched and not new_rows:
+            return meta  # nothing matched, nothing to insert
+        return self._snapshot_commit(
+            "merge", new_rows,
+            {
+                "matched_rows": n_matched,
+                "rewritten_files": n_files_rewritten,
+                "inserted_rows": n_inserted,
+            },
+            replace_files=touched or None,
+            merge_parent=not touched,
+        )
+
     # -- metadata tables (Iceberg's table.history / table.files analogues) ---
 
     def history(self, spark: SparkSession) -> DataFrame:

@@ -256,3 +256,34 @@ def test_table_delete_update_cli(spark, tmp_path, capsys):
     with pytest.raises(SystemExit) as e:
         main(["table", "update", base, "--where", "1=1", "--set", "oops"])
     assert e.value.code == 2
+
+
+def test_table_merge_cli(spark, tmp_path, capsys):
+    import json
+
+    base = str(tmp_path / "merge_tbl")
+    src0 = str(tmp_path / "merge_src0")
+    src1 = str(tmp_path / "merge_src1")
+    spark.range(0, 50).selectExpr(
+        "id AS doc_id", "'en' AS lang", "id AS n_chars"
+    ).write.parquet(src0)
+    spark.range(40, 60).selectExpr(
+        "id AS doc_id", "'xx' AS lang", "id * 2 AS n_chars"
+    ).write.parquet(src1)
+    assert main(["table", "create", base,
+                 "--schema", "doc_id bigint, lang string, n_chars bigint"]) == 0
+    assert main(["table", "append", base, src0, "-j", "2"]) == 0
+    capsys.readouterr()
+    assert main(["table", "merge", base, src1, "--on", "doc_id",
+                 "-j", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["matched_rows"] == 10 and out["inserted_rows"] == 10
+
+    from rio_color_spark.sources.snapshots import SnapshotTable
+    df = SnapshotTable(base).read(spark)
+    assert df.count() == 60
+    assert df.filter("lang = 'xx'").count() == 20
+
+    with pytest.raises(SystemExit) as e:
+        main(["table", "merge", base, src1])  # no --on
+    assert e.value.code == 2

@@ -852,3 +852,91 @@ def test_delete_race_with_compaction_conflicts(spark, tmp_path):
         a.delete_where(spark, "doc_id < 10")
     # the conflict aborted cleanly: table state is the compaction's
     assert b.read(spark).count() == 200
+
+
+def test_merge_into_upsert(spark, tmp_path):
+    """MERGE: one atomic snapshot applies update_all to matched keys and
+    inserts unmatched source rows; only matched files rewrite."""
+    t = SnapshotTable.create(
+        str(tmp_path / "mg"), "doc_id bigint, lang string, n_chars bigint"
+    )
+    for lo in (0, 100, 200):
+        t.append(_docs(spark, lo, lo + 100).coalesce(1))
+    before = {r["file_path"] for r in t.plan_files()[0]}
+    src = spark.sql(
+        "SELECT id * 10 AS doc_id, 'xx' AS lang, id AS n_chars "
+        "FROM range(9, 12)"  # 90, 100, 110 update; plus inserts below
+    ).union(
+        spark.sql("SELECT 1000 + id AS doc_id, 'zz' AS lang, id AS n_chars "
+                  "FROM range(0, 5)")
+    )
+    t.merge_into(spark, src, on="doc_id")
+    after = {r["file_path"] for r in t.plan_files()[0]}
+    # file 200-299 held no matched keys -> manifest entry untouched
+    assert len(before & after) == 1
+    df = t.read(spark)
+    assert df.count() == 305
+    assert df.filter("lang = 'xx'").count() == 3
+    assert {r["doc_id"] for r in df.filter("lang = 'zz'").collect()} == {
+        1000, 1001, 1002, 1003, 1004
+    }
+    assert df.filter("doc_id = 90 AND n_chars = 9").count() == 1
+    snap = t.metadata()["snapshots"][-1]
+    assert snap["operation"] == "merge"
+    assert snap["summary"]["matched_rows"] == 3
+    assert snap["summary"]["inserted_rows"] == 5
+    assert snap["summary"]["rewritten_files"] == 2
+
+
+def test_merge_into_variants_and_errors(spark, tmp_path):
+    t = SnapshotTable.create(str(tmp_path / "mg2"), "doc_id bigint, lang string, n_chars bigint")
+    t.append(_docs(spark, 0, 50).coalesce(1))
+    # delete-on-match + ignore-unmatched
+    src = spark.sql("SELECT id AS doc_id, 'aa' AS lang, 0L AS n_chars FROM range(40, 60)")
+    t.merge_into(spark, src, on="doc_id", when_matched="delete",
+                 when_not_matched="ignore")
+    assert t.read(spark).count() == 40
+    assert t.read(spark).filter("doc_id >= 40").count() == 0
+    # custom assignment referencing src_ columns
+    src2 = spark.sql("SELECT id AS doc_id, 'bb' AS lang, 7L AS n_chars FROM range(0, 10)")
+    t.merge_into(spark, src2, on="doc_id",
+                 when_matched={"n_chars": "n_chars + src_n_chars"},
+                 when_not_matched="ignore")
+    got = {r["doc_id"]: r["n_chars"] for r in t.read(spark).filter("doc_id < 10").collect()}
+    assert got == {i: (i * 7 % 100) + 7 for i in range(10)}
+    # merge into matching nothing with inserts only -> append-like snapshot
+    n0 = t.read(spark).count()
+    t.merge_into(spark, spark.sql(
+        "SELECT 9000 + id AS doc_id, 'cc' AS lang, 1L AS n_chars FROM range(0, 3)"
+    ), on="doc_id")
+    assert t.read(spark).count() == n0 + 3
+    # duplicate source keys are ambiguous
+    dup = spark.sql("SELECT 1L AS doc_id, 'd' AS lang, 0L AS n_chars "
+                    "UNION ALL SELECT 1L, 'e', 0L")
+    with pytest.raises(ValueError, match="key-unique"):
+        t.merge_into(spark, dup, on="doc_id")
+    with pytest.raises(KeyError, match="key column"):
+        t.merge_into(spark, dup, on="nope")
+    with pytest.raises(ValueError, match="cannot assign key"):
+        t.merge_into(spark, src2, on="doc_id", when_matched={"doc_id": "1"})
+
+
+def test_merge_respects_partitioning_and_evolution(spark, tmp_path):
+    t = SnapshotTable.create(
+        str(tmp_path / "mg3"), "doc_id bigint, lang string",
+        partition_spec=[("bucket", "doc_id", 4)],
+    )
+    t.append(_docs(spark, 0, 80).select("doc_id", "lang"))
+    t.add_column("flag", "bigint")
+    src = spark.sql("SELECT id AS doc_id, 'up' AS lang, id % 2 AS flag FROM range(70, 90)")
+    t.merge_into(spark, src, on="doc_id")
+    df = t.read(spark)
+    assert df.count() == 90
+    assert df.filter("lang = 'up'").count() == 20
+    # old unmatched rows surface flag as NULL; merged/inserted carry it
+    assert df.filter("doc_id < 70 AND flag IS NOT NULL").count() == 0
+    assert df.filter("doc_id >= 70 AND flag IS NULL").count() == 0
+    # rewritten + inserted files still prune by hidden partition
+    kept, report = t.plan_files(predicates={"doc_id": (85, 85)})
+    assert report["files_scanned"] < report["files_total"]
+    assert t.read(spark, predicates={"doc_id": (85, 85)}).count() == 1
