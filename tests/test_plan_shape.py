@@ -64,3 +64,38 @@ def test_chunk_scan_reads_only_own_files(spark, tmp_path):
     for r in readers:
         files = set(r().inputFiles())
         assert files and files < all_files  # strict subset: pruned scan
+
+
+def test_rowops_rewrite_plans_are_jvm_joins(spark, tmp_path):
+    """Row-level DELETE/UPDATE/MERGE plans: no Python eval stages and no
+    cartesian products anywhere in the rewrite path — the detection is a
+    key join, the rewrite a filtered/left-joined scan of touched files."""
+    from rio_color_spark.sources.snapshots import SnapshotTable
+
+    base = str(tmp_path / "ppt")
+    t = SnapshotTable.create(base, "doc_id bigint, lang string, n_chars bigint")
+    t.append(
+        spark.range(0, 500).selectExpr(
+            "id AS doc_id", "'en' AS lang", "id * 3 AS n_chars"
+        )
+    )
+    meta = t.metadata()
+    schema = t.schema(meta=meta)
+    kept = t._manifest_rows(t.current_snapshot(meta))
+    scan = t._scan_rows(spark, kept, schema, meta, file_col="_sf_file")
+
+    import pyspark.sql.functions as F
+
+    matched = F.coalesce(F.expr("(doc_id % 7 = 0)"), F.lit(False))
+    detect = scan.filter(matched).groupBy("_sf_file").count()
+    src = spark.range(0, 50).selectExpr(
+        "id AS doc_id", "'xx' AS lang", "0L AS n_chars"
+    )
+    merge_detect = scan.join(
+        src.select("doc_id"), on=["doc_id"], how="leftsemi"
+    ).groupBy("_sf_file").count()
+
+    for df in (detect, merge_detect, scan.filter(~matched)):
+        plan = _plan(df)
+        assert "EvalPython" not in plan and "ArrowEval" not in plan
+        assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
