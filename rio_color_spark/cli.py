@@ -176,6 +176,9 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--sort", action="append", default=[], metavar="COL",
                    help="compact: cluster the rewrite by COL (repeatable; "
                    "range-sorted files → min/max stats prune reads)")
+    t.add_argument("--zorder", action="append", default=[], metavar="COL",
+                   help="compact: Morton (Z-order) cluster by 2+ numeric "
+                   "columns — stats prune on EVERY listed column")
     t.add_argument("--where", metavar="SQL",
                    help="delete/update: row predicate (SQL boolean expr; "
                    "copy-on-write — only matching files rewrite)")
@@ -410,8 +413,13 @@ def _table_cmd(args, parser) -> int:
                 out.update(snap["snapshots"][-1].get("summary", {}))
             print(_json.dumps(out))
         else:  # compact
-            snap = t.compact(spark, write_options=_co_pairs(args.co, parser),
-                             sort_by=args.sort or None)
+            try:
+                snap = t.compact(
+                    spark, write_options=_co_pairs(args.co, parser),
+                    sort_by=args.sort or None, zorder=args.zorder or None,
+                )
+            except (KeyError, ValueError) as e:
+                parser.error(str(e))
             print(_json.dumps({"version": snap["version"],
                                "snapshot_id": snap["current_snapshot_id"]}))
     finally:

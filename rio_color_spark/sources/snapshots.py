@@ -1354,12 +1354,57 @@ class SnapshotTable:
 
     # -- maintenance ---------------------------------------------------------
 
+    def _zorder_value(self, df: DataFrame, cols: list[str], schema: dict):
+        """Column: 16-bit-per-dimension Morton (Z-order) interleave of the
+        named numeric columns, min-max normalized over the CURRENT rows.
+
+        One tiny agg collects k (min, max) pairs to the driver; the
+        interleave itself is a pure JVM Column expression (48 bit-ops for
+        k=3 — whole-stage-codegen fodder, no Python). NULLs quantize to
+        0 (clustered at the origin; footer stats stay correct because
+        pruning reads the REAL column bounds, not the z-value)."""
+        types = {f["name"]: f["type"] for f in schema["fields"]}
+        numeric = ("tinyint", "smallint", "int", "integer", "bigint",
+                   "long", "float", "real", "double", "decimal")
+        for c in cols:
+            t = types.get(c, "")
+            if not t.startswith(numeric):
+                raise ValueError(
+                    f"zorder column {c!r} has non-numeric type {t!r}"
+                )
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"lo_{i}")
+              for i, c in enumerate(cols)],
+            *[F.max(F.col(c).cast("double")).alias(f"hi_{i}")
+              for i, c in enumerate(cols)],
+        ).first()
+        quantized = []
+        for i, c in enumerate(cols):
+            lo = row[f"lo_{i}"]
+            hi = row[f"hi_{i}"]
+            lo = 0.0 if lo is None else float(lo)
+            span = (float(hi) - lo) if hi is not None and float(hi) > lo else 1.0
+            q = F.floor(
+                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * 65535.0
+            ).cast("long")
+            q = F.least(F.lit(65535), F.greatest(F.lit(0), q))
+            quantized.append(F.coalesce(q, F.lit(0)))
+        k = len(quantized)
+        zv = F.lit(0).cast("long")
+        for bit in range(16):
+            for j, q in enumerate(quantized):
+                zv = zv + F.shiftleft(
+                    F.shiftright(q, bit).bitwiseAND(F.lit(1)), bit * k + j
+                )
+        return zv
+
     def compact(
         self,
         spark: SparkSession,
         target_file_bytes: int = 128 * 1024 * 1024,
         write_options: dict | None = None,
         sort_by: list[str] | None = None,
+        zorder: list[str] | None = None,
     ) -> dict:
         """Rewrite the current file set into ~target-sized files as a
         ``rewrite`` snapshot (same logical rows; read plans shrink).
@@ -1373,7 +1418,16 @@ class SnapshotTable:
         point/range reads on those columns — the difference between
         "stats exist" and "stats bite" at 100 TB. With a partition spec,
         the sort is applied WITHIN each partition clustering instead
-        (partition layout still wins the file boundaries)."""
+        (partition layout still wins the file boundaries).
+
+        ``zorder`` clusters by the Morton interleave of 2+ numeric
+        columns instead (Iceberg/Delta Z-ORDER): each output file covers
+        a small HYPER-RECTANGLE of the key space, so footer min/max
+        stats prune point/range reads on EVERY listed column — a linear
+        ``sort_by`` only prunes its leading column. Mutually exclusive
+        with ``sort_by``."""
+        if sort_by and zorder:
+            raise ValueError("sort_by and zorder are mutually exclusive")
         meta = self.metadata()
         cur = self.current_snapshot(meta)
         if cur is None:
@@ -1383,12 +1437,18 @@ class SnapshotTable:
         n_out = max(1, -(-total // target_file_bytes))
         schema = self.schema(meta=meta)
         spec = self.partition_spec(meta=meta)
-        if sort_by:
-            known = {f["name"] for f in schema["fields"]}
-            bad = [c for c in sort_by if c not in known]
-            if bad:
-                raise KeyError(f"sort_by columns {bad} not in schema")
+        known = {f["name"] for f in schema["fields"]}
+        for cols, what in ((sort_by, "sort_by"), (zorder, "zorder")):
+            if cols:
+                bad = [c for c in cols if c not in known]
+                if bad:
+                    raise KeyError(f"{what} columns {bad} not in schema")
+        if zorder and len(zorder) < 2:
+            raise ValueError("zorder needs at least 2 columns (use sort_by)")
         df = self.read(spark)  # current read → current schema
+        if zorder:
+            df = df.withColumn("_zv", self._zorder_value(df, zorder, schema))
+            sort_by = ["_zv"]  # downstream clustering path is identical
         if spec["fields"]:
             # cluster by the partition transforms so each partition value
             # lands in one task → one file per value, not n_out per value
@@ -1408,6 +1468,8 @@ class SnapshotTable:
             df = df.sortWithinPartitions(*sort_by)
         else:
             df = df.repartition(int(n_out))
+        if zorder:
+            df = df.drop("_zv")  # clustering key only — never written
         files, parts = self._write_data(df, write_options, spec, schema)
         return self._snapshot_commit(
             "rewrite",

@@ -940,3 +940,48 @@ def test_merge_respects_partitioning_and_evolution(spark, tmp_path):
     kept, report = t.plan_files(predicates={"doc_id": (85, 85)})
     assert report["files_scanned"] < report["files_total"]
     assert t.read(spark, predicates={"doc_id": (85, 85)}).count() == 1
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """Z-ORDER rewrite: files cover key-space hyper-rectangles, so footer
+    stats prune point reads on EVERY clustered column; a linear sort only
+    prunes its leading column."""
+    t = SnapshotTable.create(str(tmp_path / "zo"), "x bigint, y bigint, v bigint")
+    grid = spark.range(0, 4096).selectExpr(
+        "id % 64 AS x", "CAST(id / 64 AS BIGINT) AS y", "id AS v"
+    )
+    t.append(grid.orderBy(F.rand(seed=3)).repartition(8))
+
+    t.compact(spark, target_file_bytes=2048, zorder=["x", "y"])
+    kept, rep = t.plan_files(predicates={"x": (10, 12)})
+    assert rep["files_total"] >= 8
+    x_scan = rep["files_scanned"]
+    kept, rep_y = t.plan_files(predicates={"y": (50, 52)})
+    y_scan = rep_y["files_scanned"]
+    assert x_scan < rep["files_total"] and y_scan < rep["files_total"]
+    # content identical
+    assert t.read(spark).count() == 4096
+    assert t.read(spark).agg(F.sum("v")).first()[0] == 4096 * 4095 // 2
+    assert t.read(spark, predicates={"x": (10, 12)}).count() == 3 * 64
+    # schema untouched: the _zv clustering key never lands in the files
+    assert [f["name"] for f in t.schema()["fields"]] == ["x", "y", "v"]
+    import pyarrow.parquet as pq
+    f0 = t.plan_files()[0][0]["file_path"]
+    assert pq.read_schema(f0).names == ["x", "y", "v"]
+
+    # linear sort on x for contrast: y point reads scan everything
+    t2 = SnapshotTable.create(str(tmp_path / "lin"), "x bigint, y bigint, v bigint")
+    t2.append(grid.orderBy(F.rand(seed=3)).repartition(8))
+    t2.compact(spark, target_file_bytes=2048, sort_by=["x"])
+    _, rep2 = t2.plan_files(predicates={"y": (50, 52)})
+    assert rep2["files_scanned"] == rep2["files_total"]
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        t.compact(spark, sort_by=["x"], zorder=["x", "y"])
+    with pytest.raises(ValueError, match="at least 2"):
+        t.compact(spark, zorder=["x"])
+    with pytest.raises(ValueError, match="non-numeric"):
+        SnapshotTable.create(str(tmp_path / "zs"), "a bigint, s string")
+        t3 = SnapshotTable(str(tmp_path / "zs"))
+        t3.append(spark.sql("SELECT 1L AS a, 'q' AS s"))
+        t3.compact(spark, zorder=["a", "s"])
