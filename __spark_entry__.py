@@ -41,8 +41,24 @@ PIP_POLYS = [
 FLAGSHIP = "gamma b 1.85 gamma rg 1.95 sigmoidal rgb 35 0.13 saturation 1.15"
 
 
+#: (sf_dir, table) → inferred StructType. Schema inference costs ~75-115 ms
+#: of driver time per reader call (InMemoryFileIndex + footer read);
+#: passing the once-inferred schema back cuts repeat reads to ~16 ms.
+#: Metadata-only (never rows): every execution still scans the parquet.
+#: Spark's own inference is cached (not a pyarrow footer read) because the
+#: arrow conversion maps timestamps to TimestampType where Spark infers
+#: TIMESTAMP_NTZ for these fixtures — the values must stay bit-identical.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 # -- native [0,1] channel derivations (exact rationals, mirror SQL.PX_*) ------

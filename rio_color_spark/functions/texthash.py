@@ -111,6 +111,65 @@ def minhash_col(hashes: Column, j: int) -> Column:
     )
 
 
+# -- single-parse SQL-text builders -------------------------------------------
+#
+# The Column builders above construct expression trees node-by-node through
+# py4j — measured ~320 ms of DRIVER time just for the 16 minhash columns
+# (each F.transform lambda round-trips the gateway several times). The
+# builders below emit the SAME expressions as one SQL string parsed JVM-side
+# in a single call (~1 ms). Values are identical — the hash gates and
+# tests/test_dedup*.py pin the parity; the Column forms remain the
+# documented twins (and what plans/sql_oracles.py mirrors).
+
+
+def token_hash_sql(tok_sql: str) -> str:
+    """SQL text of :func:`token_hash_col` over a token expression."""
+    return f"cast(conv(substring(md5(cast({tok_sql} as binary)), 1, 8), 16, 10) as bigint)"
+
+
+def shingles3_sql(toks_sql: str) -> str:
+    """SQL text of :func:`shingles3_from_tokens` over a token-array column."""
+    return (
+        f"CASE WHEN size({toks_sql}) >= 3 THEN "
+        f"transform(sequence(1, size({toks_sql}) - 2), "
+        f"i -> concat_ws(' ', slice({toks_sql}, i, 3))) "
+        "ELSE cast(array() as array<string>) END"
+    )
+
+
+def minhash_sql(hashes_sql: str, j: int) -> str:
+    """SQL text of :func:`minhash_col` over a hash-array column."""
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return (
+        f"coalesce(array_min(transform({hashes_sql}, "
+        f"x -> ({a} * (x % {MINHASH_P}) + {b}) % {MINHASH_P})), {MINHASH_P})"
+    )
+
+
+def minhash_expr(hashes_sql: str, j: int) -> Column:
+    return F.expr(minhash_sql(hashes_sql, j))
+
+
+def simhash_agg_sql(hashes_sql: str, n_sql: str) -> str:
+    """SQL text of :func:`simhash_agg_col` (single-pass 32-counter fold)."""
+    bits = ", ".join(
+        f"cast(shiftright(x, {b}) & 1 as bigint)" for b in range(SIMHASH_BITS)
+    )
+    zeros = ", ".join(["0L"] * SIMHASH_BITS)
+    weights = ", ".join(f"{1 << b}L" for b in range(SIMHASH_BITS))
+    return (
+        f"aggregate(zip_with(aggregate({hashes_sql}, array({zeros}), "
+        f"(acc, x) -> zip_with(acc, array({bits}), (c, v) -> c + v)), "
+        f"array({weights}), "
+        f"(c, w) -> CASE WHEN c * 2 > {n_sql} THEN w ELSE 0L END), "
+        "0L, (a, v) -> a + v)"
+    )
+
+
+def simhash_agg_expr(hashes_sql: str, n_sql: str) -> Column:
+    return F.expr(simhash_agg_sql(hashes_sql, n_sql))
+
+
 def minhash_sig_cols(hashes: Column) -> list[Column]:
     return [minhash_col(hashes, j).alias(f"mh{j}") for j in range(N_MINHASH)]
 

@@ -201,11 +201,33 @@ def lsh_bucket_topk(
     id-join for the cosine verify, same as :func:`cosine_neardup_pairs`.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # hash-partition the narrow (id, tbl, bucket) rows by the join key
+    # before the self-join forks: both legs then share ONE exchange subtree
+    # (ReuseExchange), so the Python bucket UDF crosses the table once —
+    # not once per side (guide §2.4; the round-7 before-plan showed two
+    # ArrowEvalPython bucket passes over the full table).
     tagged = base.select(
         "id",
         F.posexplode(buckets_udf(dim, n_tables)(F.col("v"))).alias("tbl", "bucket"),
-    )
-    q = tagged.filter(query_filter) if query_filter is not None else tagged
+    ).repartition("tbl", "bucket")
+    if query_filter is not None:
+        # pushdown BARRIER: Catalyst would sink a plain query_filter below
+        # the repartition, making the two legs' exchange subtrees differ —
+        # and the bucket UDF would run over the full table twice again.
+        # The filter is kept above the shared exchange by OR-ing it with an
+        # always-false predicate over a nondeterministic column: the OR is
+        # not splittable into pushable conjuncts, and a predicate that
+        # references `_qbar` cannot cross the projection defining it.
+        # `monotonically_increasing_id() < 0` is false for every row (the
+        # id is a non-negative partition/counter pack), so the kept rows
+        # are exactly query_filter's.
+        q = (
+            tagged.withColumn("_qbar", F.monotonically_increasing_id())
+            .filter(query_filter | (F.col("_qbar") < 0))
+            .drop("_qbar")
+        )
+    else:
+        q = tagged
     qk = q.select(F.col("id").alias("query_id"), "tbl", "bucket")
     ck = tagged.select(F.col("id").alias("neighbor_id"), "tbl", "bucket")
     cand = qk.join(ck, ["tbl", "bucket"]).filter(
@@ -282,10 +304,12 @@ def cosine_neardup_pairs(
             .join(base.select(F.col("id").alias("id_b")), F.col("id_a") < F.col("id_b"))
         )
     else:
+        # same ReuseExchange shape as lsh_bucket_topk: one bucket-UDF pass,
+        # both self-join legs read the single (tbl, bkt)-keyed exchange
         tagged = base.select(
             "id",
             F.posexplode(buckets_udf(dim, n_tables)(F.col("v"))).alias("tbl", "bkt"),
-        )
+        ).repartition("tbl", "bkt")
         left = tagged.select("tbl", "bkt", F.col("id").alias("id_a"))
         right = tagged.select("tbl", "bkt", F.col("id").alias("id_b"))
         cand = (

@@ -98,6 +98,15 @@ def _materialize(df: DataFrame, cols: dict) -> DataFrame:
     return out.select("*", *[F.col(f"_m.{n}").alias(n) for n in cols]).drop("_m")
 
 
+def _parse_bytes(s: str) -> int:
+    """'128m'-style byte strings (Spark conf values) → bytes."""
+    s = s.strip().lower()
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Parallelism guard for heavy per-row map stages.
 
@@ -107,8 +116,34 @@ def _spread(df: DataFrame) -> DataFrame:
     map stage uses every core. A well-split table — the 100-TB case, where
     the scan plans thousands of splits — passes through untouched: no
     shuffle is ever added at scale.
+
+    The probe reads the scan's file list + local file sizes (driver
+    metadata, ~85 ms) instead of ``df.rdd.getNumPartitions()`` (a full
+    physical planning + RDD conversion, ~200 ms of serial driver time per
+    query build); the RDD probe remains the fallback for non-local files.
     """
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    if files:
+        if len(files) >= target:
+            return df
+        try:
+            mpb = _parse_bytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+            )
+            import os
+
+            est = 0
+            for f in files:
+                local = f.removeprefix("file:").lstrip("/")
+                est += -(-os.path.getsize("/" + local) // mpb)
+            return df.repartition(target) if est < target else df
+        except OSError:
+            pass  # non-local paths: fall through to the RDD probe
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -144,14 +179,15 @@ def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     base = _materialize(
         base,
         {
-            "_shh": F.transform(
-                TH.shingles3_from_tokens(F.col("_toks")), TH.token_hash_col
+            "_shh": F.expr(
+                f"transform({TH.shingles3_sql('_toks')}, "
+                f"s -> {TH.token_hash_sql('s')})"
             )
         },
     )
     return base.select(
         "*",
-        *[TH.minhash_col(F.col("_shh"), j).alias(f"mh{j}") for j in range(TH.N_MINHASH)],
+        *[TH.minhash_expr("_shh", j).alias(f"mh{j}") for j in range(TH.N_MINHASH)],
     ).drop("_toks", "_shh")
 
 
@@ -185,26 +221,42 @@ def minhash_lsh_pairs(
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))),
         {"_toks": TH.tokens_col(F.col("_text"))},
     )
-    sh_expr = TH.shingles3_from_tokens(F.col("_toks"))
+    sh_expr = F.expr(TH.shingles3_sql("_toks"))
     enriched = _materialize(
-        toked, {"_shh": F.transform(sh_expr, TH.token_hash_col)}
+        toked,
+        {
+            "_shh": F.expr(
+                f"transform({TH.shingles3_sql('_toks')}, "
+                f"s -> {TH.token_hash_sql('s')})"
+            )
+        },
     ).select("id", "_shh")
 
-    band_sigs = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                *[
-                    TH.minhash_col(F.col("_shh"), b * TH.LSH_ROWS + r)
-                    for r in range(TH.LSH_ROWS)
-                ],
+    band_sigs = F.expr(
+        "array("
+        + ", ".join(
+            "concat_ws('-', "
+            + ", ".join(
+                TH.minhash_sql("_shh", b * TH.LSH_ROWS + r)
+                for r in range(TH.LSH_ROWS)
             )
+            + ")"
             for b in range(TH.LSH_BANDS)
-        ]
+        )
+        + ")"
     )
+    # the band rows are hash-partitioned by the join key BEFORE the self-
+    # join forks its two legs: both legs then sit over byte-identical
+    # Exchange subtrees, which Spark's ReuseExchange (AQE stage reuse)
+    # computes ONCE — without it the whole tokenize→md5→minhash subtree is
+    # evaluated twice, once per side (measured in the round-7 before-plan:
+    # two full Generate+minhash chains). The exchange still carries only
+    # (id, band, band_sig) — the same narrow bytes the band join shuffles
+    # anyway at scale — so this trades a duplicate full compute pass for
+    # zero extra payload movement (guide §2.4: share one exchange).
     banded = enriched.select(
         "id", F.posexplode(band_sigs).alias("band", "band_sig")
-    )
+    ).repartition("band", "band_sig")
 
     left = banded.select("band", "band_sig", F.col("id").alias("id_a"))
     right = banded.select("band", "band_sig", F.col("id").alias("id_b"))
@@ -250,7 +302,7 @@ def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         },
     )
     return base.select(
-        "id", TH.simhash_agg_col(F.col("_th"), F.col("_n")).alias("simhash")
+        "id", TH.simhash_agg_expr("_th", "_n").alias("simhash")
     )
 
 
@@ -333,7 +385,7 @@ def ngram_jaccard_pairs(
     ).select(
         "grp",
         "id",
-        F.array_distinct(TH.shingles3_from_tokens(F.col("_toks"))).alias("sh"),
+        F.array_distinct(F.expr(TH.shingles3_sql("_toks"))).alias("sh"),
     )
     # fail-fast group-size guard: the window count shares the grp-keyed
     # exchange the self-join needs anyway; the guard rides the id column so

@@ -197,6 +197,14 @@ def run_pipeline(
     the next run (any committed chunk missing from the log is re-added;
     any chunk already in the log is skipped).
     """
+    # default codec for pipeline outputs: lz4. The dominant output bytes
+    # are colored pixel payloads (incompressible), where the session's
+    # zstd default costs ~2x the write wall for a ~1% size win (measured:
+    # guide §6 "measure both"); callers needing archival ratios pass
+    # write_options={"compression": "zstd"} (the CLI's --co does exactly
+    # that, so explicit creation options are untouched).
+    if write_options is None:
+        write_options = {"compression": "lz4"}
     writer = CheckpointedWriter(out_base, write_options)
     readers, fps = chunk_plan(spark, images, n_chunks)
 
