@@ -50,17 +50,29 @@ _UPRIME_N = (4 * _XN) / _DENOM_N
 _VPRIME_N = (9 * _YN) / _DENOM_N
 
 
-def _rgb_to_xyz(r, g, b):
-    # sRGB inverse companding, then linear-RGB → XYZ with the reference's
-    # in-stage X/xn, Z/zn normalization.
+def _srgb_inverse_compand(c):
+    """sRGB channel → linear-light channel (the pointwise companding leg,
+    split out so quantized-input callers can fold it into a lookup table —
+    operators/color.py; byte-identical op sequence either way)."""
     with np.errstate(invalid="ignore"):
-        rl = np.where(r <= 0.04045, r / 12.92, ((r + 0.055) / 1.055) ** 2.4)
-        gl = np.where(g <= 0.04045, g / 12.92, ((g + 0.055) / 1.055) ** 2.4)
-        bl = np.where(b <= 0.04045, b / 12.92, ((b + 0.055) / 1.055) ** 2.4)
+        return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _linear_rgb_to_xyz(rl, gl, bl):
+    """linear-RGB → XYZ with the reference's in-stage X/xn, Z/zn norm."""
     x = (rl * 0.4124564 + gl * 0.3575761 + bl * 0.1804375) / _XN
     y = rl * 0.2126729 + gl * 0.7151522 + bl * 0.0721750
     z = (rl * 0.0193339 + gl * 0.1191920 + bl * 0.9503041) / _ZN
     return x, y, z
+
+
+def _rgb_to_xyz(r, g, b):
+    # sRGB inverse companding, then linear-RGB → XYZ
+    return _linear_rgb_to_xyz(
+        _srgb_inverse_compand(r),
+        _srgb_inverse_compand(g),
+        _srgb_inverse_compand(b),
+    )
 
 
 def _xyz_to_lab(x, y, z):
@@ -242,10 +254,25 @@ def saturate_rgb(arr: np.ndarray, satmult: float) -> np.ndarray:
     agreeing with it to float ulps (pinned in tests/test_colorspace.py).
     """
     _check_arr(arr)
-    L, a, b = convert_channels(arr[0], arr[1], arr[2], ColorSpace.rgb, ColorSpace.lab)
+    return saturate_rgb_from_linear(
+        _srgb_inverse_compand(arr[0]),
+        _srgb_inverse_compand(arr[1]),
+        _srgb_inverse_compand(arr[2]),
+        satmult,
+    )
+
+
+def saturate_rgb_from_linear(rl, gl, bl, satmult: float) -> np.ndarray:
+    """:func:`saturate_rgb` over already-inverse-companded linear channels.
+
+    Split out so the quantized-input LUT path (operators/color.py) can fold
+    the three companding ``pow(x, 2.4)`` passes into its per-band tables;
+    the op sequence from the linear channels onward is byte-identical to
+    :func:`saturate_rgb` (which now delegates here)."""
+    L, a, b = _xyz_to_lab(*_linear_rgb_to_xyz(rl, gl, bl))
     r, g, bb = convert_channels(
         L, a * satmult, b * satmult, ColorSpace.lab, ColorSpace.rgb
     )
-    out = np.empty((3,) + arr.shape[1:], dtype=np.float64)
+    out = np.empty((3,) + np.shape(rl), dtype=np.float64)
     out[0], out[1], out[2] = r, g, bb
     return out

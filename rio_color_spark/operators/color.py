@@ -58,6 +58,85 @@ def _unstack_rows(arr: np.ndarray, n: int, h: int, w: int) -> list[bytes]:
 SLAB_BYTES = 1_600_000
 
 
+def _split_plan(plan):
+    """(pointwise per-band prefix, remainder) of a parsed op plan.
+
+    The prefix is the longest run of non-RGB-space ops (gamma, sigmoidal):
+    each touches single bands pointwise, so over a quantized input dtype it
+    is exactly representable as one lookup table per band. The remainder
+    starts at the first channel-mixing op (saturation) and runs in float.
+    """
+    for i, spec in enumerate(plan):
+        if spec.rgb_op:
+            return plan[:i], plan[i:]
+    return plan, []
+
+
+def _luts_for(fused, in_dt: np.dtype, out_dt: np.dtype, nbands: int):
+    """Per-band lookup tables for the chain's pointwise prefix, or None.
+
+    A uint8/uint16 pixel can only take ``max+1`` values, and the math-type
+    value of level ``k`` is exactly ``k / max`` — so applying the pointwise
+    prefix to the ``arange(max + 1)`` grid yields, per band, a table whose
+    gather reproduces the per-pixel computation bit-for-bit (same float64
+    ops on the same inputs; guide §1.2 "per-task work"). When the WHOLE
+    chain is pointwise (e.g. the atmo opstring) the table also folds
+    ``scale_dtype`` and maps uint→uint directly. Returns
+    ``(luts, suffix)`` — ``luts[band]`` arrays plus the remaining specs —
+    or None when no plan is attached, the dtype is not an unsigned int, or
+    the prefix raises on some grid value the real data may not contain
+    (fall back to the exact per-slab path, which keeps the reference
+    fail-fast semantics bit-identical).
+    """
+    if np.dtype(in_dt).kind != "u":
+        return None
+    plan = getattr(fused, "plan", None)
+    if plan is None:
+        return None
+    cache = getattr(fused, "_lut_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            fused._lut_cache = cache
+        except AttributeError:
+            pass
+    key = (np.dtype(in_dt).str, np.dtype(out_dt).str, nbands)
+    if key in cache:
+        return cache[key]
+    from rio_color_spark.plans.dsl import _OP_TABLE
+
+    prefix, suffix = _split_plan(plan)
+    base = to_math_type(np.arange(np.iinfo(in_dt).max + 1, dtype=in_dt))
+    entry = None
+    try:
+        luts = []
+        for b in range(nbands):
+            v = base
+            for spec in prefix:
+                if (b + 1) in spec.bands:
+                    v = _OP_TABLE[spec.name][0](v, **spec.kwargs)
+            # fold the output rescale into the table when nothing mixes bands
+            luts.append(scale_dtype(v, out_dt) if not suffix else v)
+        sat_first = bool(suffix) and suffix[0].name == "saturation" and nbands >= 3
+        if sat_first:
+            # saturation's first leg is pointwise sRGB inverse companding:
+            # fold its three pow(x, 2.4) passes into the RGB tables too and
+            # enter via saturate_rgb_from_linear (byte-identical sequence)
+            from rio_color_spark.functions.colorspace import (
+                _srgb_inverse_compand,
+            )
+
+            luts = [
+                _srgb_inverse_compand(v) if b < 3 else v
+                for b, v in enumerate(luts)
+            ]
+        entry = (luts, suffix, sat_first)
+    except ValueError:
+        entry = None  # a grid value outside an op's domain: exact path rules
+    cache[key] = entry
+    return entry
+
+
 def _apply_slabbed(
     stacked: np.ndarray, fused, out_dt: np.dtype
 ) -> np.ndarray:
@@ -66,9 +145,41 @@ def _apply_slabbed(
     Elementwise/per-pixel semantics make row-slab blocking value-exact; the
     only observable difference vs whole-array execution is that domain
     ValueErrors raise on the first offending slab (fail-fast either way).
+
+    Quantized inputs take the LUT fast path (see :func:`_luts_for`): the
+    pointwise prefix becomes one table gather per band — bit-identical
+    values, no pow/exp per pixel — and only the channel-mixing remainder
+    (plus the rescale) still runs in float per slab.
     """
     c, h, w = stacked.shape
     out = np.empty((c, h, w), dtype=out_dt)
+    lut_entry = _luts_for(fused, stacked.dtype, np.dtype(out_dt), c)
+    if lut_entry is not None:
+        luts, suffix, sat_first = lut_entry
+        if not suffix:
+            for b in range(c):
+                out[b] = luts[b][stacked[b]]
+            return out
+        from rio_color_spark.functions.colorspace import saturate_rgb_from_linear
+
+        slab_rows = max(1, SLAB_BYTES // (c * w * 8))
+        fl = np.empty((c, slab_rows, w), dtype=np.float64)
+        for s in range(0, h, slab_rows):
+            n = min(slab_rows, h - s)
+            part = fl[:, :n]
+            for b in range(c):
+                part[b] = luts[b][stacked[b, s : s + n]]
+            if sat_first:
+                part[0:3] = saturate_rgb_from_linear(
+                    part[0], part[1], part[2], suffix[0].kwargs["proportion"]
+                )
+                rest = suffix[1:]
+            else:
+                rest = suffix
+            for spec in rest:
+                spec.apply_into(part, part)
+            out[:, s : s + n] = scale_dtype(part, out_dt)
+        return out
     slab_rows = max(1, SLAB_BYTES // (c * w * 8))
     for s in range(0, h, slab_rows):
         chunk = np.ascontiguousarray(stacked[:, s : s + slab_rows])
