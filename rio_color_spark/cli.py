@@ -146,7 +146,7 @@ def _build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser(
         "table",
         help="Snapshot-table management (sources/snapshots.py): create/"
-        "append/history/files/compact/expire/evolve/delete/update",
+        "append/history/files/compact/expire/evolve/delete/update/merge",
     )
     t.add_argument(
         "action",

@@ -1251,6 +1251,16 @@ class SnapshotTable:
             n_matched = sum(r["count"] for r in hits)
             by_path = {self._uri_path(r["_sf_file"]) for r in hits}
             touched = {r["file_path"] for r in kept if r["file_path"] in by_path}
+            # same attribution guard as _rewrite_where (ADVICE r6): a hit
+            # file that fails to map back to a manifest path would silently
+            # drop the update AND exclude its source rows from the insert
+            # anti-join — a lost update must be an error instead
+            if len(touched) != len(by_path):
+                unknown = by_path - touched
+                raise RuntimeError(
+                    f"merge row scan attributed rows to file(s) outside "
+                    f"the manifest: {sorted(unknown)[:3]}"
+                )
 
         new_rows: list[dict] = []
         n_files_rewritten = 0
@@ -1378,6 +1388,13 @@ class SnapshotTable:
             *[F.max(F.col(c).cast("double")).alias(f"hi_{i}")
               for i, c in enumerate(cols)],
         ).first()
+        # floor(63/k) bits per dimension, capped at 16: the interleave must
+        # never reach bit 63 (the sign bit would invert the clustering
+        # order) nor wrap shiftleft mod 64 (ADVICE r6: with k=4 the old
+        # fixed 16 bits put the top bit on 63; with k>=5 bits collided)
+        k = len(cols)
+        bits = min(16, 63 // k)
+        qmax = (1 << bits) - 1
         quantized = []
         for i, c in enumerate(cols):
             lo = row[f"lo_{i}"]
@@ -1385,13 +1402,12 @@ class SnapshotTable:
             lo = 0.0 if lo is None else float(lo)
             span = (float(hi) - lo) if hi is not None and float(hi) > lo else 1.0
             q = F.floor(
-                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * 65535.0
+                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * float(qmax)
             ).cast("long")
-            q = F.least(F.lit(65535), F.greatest(F.lit(0), q))
+            q = F.least(F.lit(qmax), F.greatest(F.lit(0), q))
             quantized.append(F.coalesce(q, F.lit(0)))
-        k = len(quantized)
         zv = F.lit(0).cast("long")
-        for bit in range(16):
+        for bit in range(bits):
             for j, q in enumerate(quantized):
                 zv = zv + F.shiftleft(
                     F.shiftright(q, bit).bitwiseAND(F.lit(1)), bit * k + j
