@@ -204,7 +204,12 @@ def run_pipeline(
     # write_options={"compression": "zstd"} (the CLI's --co does exactly
     # that, so explicit creation options are untouched).
     if write_options is None:
-        write_options = {"compression": "lz4"}
+        write_options = {
+            "compression": "lz4",
+            # unique binary payloads defeat dictionary encoding — it
+            # buffers + hashes every value, then falls back to plain pages
+            "parquet.enable.dictionary": "false",
+        }
     writer = CheckpointedWriter(out_base, write_options)
     readers, fps = chunk_plan(spark, images, n_chunks)
 

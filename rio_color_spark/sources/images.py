@@ -190,6 +190,12 @@ def write_images(spark, n_rows: int, path: str, partitions: int | None = None):
     """
     images_df(spark, n_rows, partitions).write.mode("overwrite").option(
         "compression", "lz4"
+    ).option(
+        # dictionary encoding buffers and hashes every unique value; the
+        # 3 KB payloads are all unique, so it only burns CPU/memory before
+        # falling back to plain pages (measured ~8% of the write wall)
+        "parquet.enable.dictionary",
+        "false",
     ).parquet(path)
 
 
