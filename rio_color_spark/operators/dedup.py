@@ -217,9 +217,17 @@ def minhash_lsh_pairs(
        every shingle array 2×4 bands wide (and with an Iceberg/persisted
        enriched table it is a plain column read).
     """
-    toked = _materialize(
-        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))),
-        {"_toks": TH.tokens_col(F.col("_text"))},
+    # tokenize BELOW the (conditional) respread exchange: when _spread
+    # fires (under-split local scan) the exchange then caps the tokenize
+    # subtree, so AQE stage reuse evaluates the regex split ONCE for all
+    # three consumers (band leg + the two shingle-refetch legs) instead of
+    # three times; at scale _spread is a no-op and the plan is unchanged.
+    # The exchange ships token arrays instead of raw text — same bytes.
+    toked = _spread(
+        _materialize(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text")),
+            {"_toks": TH.tokens_col(F.col("_text"))},
+        ).select("id", "_toks")
     )
     sh_expr = F.expr(TH.shingles3_sql("_toks"))
     enriched = _materialize(
